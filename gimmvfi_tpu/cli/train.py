@@ -1,0 +1,210 @@
+"""Training driver (reference `src/main.py` + `src/trainers/`).
+
+Two-stage recipe:
+  stage 1 (GIMM):     python -m gimmvfi_tpu.cli.train --config configs/gimm.yaml
+  stage 2 (GIMM-VFI): python -m gimmvfi_tpu.cli.train --config configs/gimmvfi_r_arb.yaml \
+      --load-path runs/gimm/ckpt  (partial load of stage-1 weights)
+
+Data parallel over all local devices via a `data` mesh; params replicated,
+batches sharded; XLA handles the gradient all-reduce.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import DataLoader, create_dataset
+from ..models import create_model
+from ..parallel import create_mesh, replicate, shard_batch
+from ..train import (
+    create_optimizer,
+    create_train_state,
+    make_gimm_train_step,
+    make_gimmvfi_train_step,
+    warmup_cosine_schedule,
+)
+from ..train.checkpoint import merge_partial, restore_checkpoint, save_checkpoint
+from ..utils.config import load_config, save_config
+from ..utils.metrics import MetricAccumulator
+
+logger = logging.getLogger("gimmvfi_tpu.train")
+
+
+def setup_run_dir(result_path: str, cfg) -> str:
+    run_dir = os.path.join(result_path, time.strftime("%d%m%Y_%H%M%S"))
+    os.makedirs(run_dir, exist_ok=True)
+    save_config(cfg, os.path.join(run_dir, "config.yaml"))
+    logging.basicConfig(
+        level=logging.INFO,
+        handlers=[
+            logging.FileHandler(os.path.join(run_dir, "train.log")),
+            logging.StreamHandler(),
+        ],
+        format="%(asctime)s %(name)s %(levelname)s %(message)s",
+        force=True,
+    )
+    return run_dir
+
+
+def _subsample_indices(rng: np.random.Generator, batch: int, hw: int, ratio: float):
+    k = int(hw * ratio)
+    return np.stack(
+        [rng.permutation(hw)[:k] for _ in range(batch)], axis=0
+    ).astype(np.int32)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", required=True)
+    p.add_argument("--result-path", default="runs")
+    p.add_argument("--load-path", default=None, help="partial init (stage-1 ckpt)")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--overrides", nargs="*", default=[])
+    p.add_argument("--smoke-test", action="store_true")
+    args = p.parse_args(argv)
+
+    cfg = load_config(args.config, args.overrides)
+    run_dir = setup_run_dir(args.result_path, cfg)
+    seed = cfg.experiment.seed
+    np_rng = np.random.default_rng(seed)
+
+    mesh = create_mesh()
+    n_dev = mesh.devices.size
+    local_batch = cfg.experiment.batch_size
+    global_batch = local_batch * n_dev
+    logger.info("mesh: %s devices, global batch %d", n_dev, global_batch)
+
+    trn, val = create_dataset(
+        cfg.dataset.type, cfg.dataset.path, aug=getattr(cfg.dataset, "aug", True)
+    )
+    if args.smoke_test:
+        trn.meta_data = trn.meta_data[: 2 * global_batch]
+        val.meta_data = val.meta_data[: 2 * global_batch]
+    loader = DataLoader(trn, global_batch, seed=seed)
+
+    arch = cfg.arch.type.lower()
+    is_stage2 = arch.startswith("gimmvfi")
+    model = create_model(arch, raft_iters=cfg.arch.raft_iter) if is_stage2 else create_model(arch)
+
+    # init params
+    rng = jax.random.PRNGKey(seed)
+    if is_stage2:
+        dummy = jnp.zeros((1, 2, 64, 64, 3), jnp.float32)
+        variables = model.init(rng, dummy, (0.5,))
+    else:
+        dummy_xs = jnp.zeros((1, 2, 64, 64, 2), jnp.float32)
+        variables = model.init(
+            rng, dummy_xs, dummy_xs, jnp.zeros((1,), jnp.float32)
+        )
+    variables = dict(variables)
+    variables.setdefault("batch_stats", {})
+
+    if args.load_path:
+        from ..utils.convert import (
+            convert_gimm,
+            convert_gimmvfi_r,
+            load_torch_state_dict,
+        )
+
+        if args.load_path.endswith((".pt", ".pth")):
+            sd = load_torch_state_dict(args.load_path)
+            conv = convert_gimmvfi_r if is_stage2 and "flow_estimator.fnet.conv1.weight" in sd else convert_gimm
+            lp, ls = conv(sd)
+            variables["params"] = merge_partial(variables["params"], lp)
+            variables["batch_stats"] = merge_partial(variables["batch_stats"], ls)
+        else:
+            loaded, _ = restore_checkpoint(args.load_path, None)
+            variables["params"] = merge_partial(
+                variables["params"], loaded["params"]
+            )
+        logger.info("partially loaded weights from %s", args.load_path)
+
+    steps_per_epoch = len(loader)
+    total_steps = steps_per_epoch * cfg.experiment.epochs
+    w = cfg.optimizer.warmup
+    schedule = warmup_cosine_schedule(
+        cfg.optimizer.init_lr,
+        w.min_lr,
+        total_steps,
+        warmup_steps=w.epoch * steps_per_epoch,
+        buffer_steps=w.buffer_epoch * steps_per_epoch,
+        multiplier=w.multiplier,
+        mode=w.mode,
+        world_size=n_dev,
+        start_from_zero=w.start_from_zero,
+    )
+    tx = create_optimizer(
+        variables["params"],
+        opt_type=cfg.optimizer.type,
+        init_lr=cfg.optimizer.init_lr,
+        weight_decay=cfg.optimizer.weight_decay,
+        betas=tuple(cfg.optimizer.betas),
+        ft=cfg.optimizer.ft,
+        lr_schedule=schedule,
+        max_grad_norm=cfg.optimizer.max_gn,
+    )
+
+    use_ema = bool(cfg.arch.ema)
+    state = create_train_state(variables, tx, use_ema=use_ema)
+    if is_stage2:
+        step_fn = make_gimmvfi_train_step(
+            model, tx, rec_weight=cfg.arch.rec_weight, use_ema=use_ema
+        )
+    else:
+        step_fn = make_gimm_train_step(model, tx, use_ema=use_ema)
+    step_fn = jax.jit(step_fn, donate_argnums=(0,))
+
+    epoch_st = 0
+    if args.resume:
+        state, last = restore_checkpoint(os.path.join(run_dir, "ckpt"), state)
+        epoch_st = last // steps_per_epoch
+        logger.info("resumed from step %d", last)
+
+    with mesh:
+        state = replicate(mesh, state)
+        metric_names = (
+            ("loss_total", "lap", "census", "l1", "rec", "lpips", "psnr")
+            if is_stage2
+            else ("loss_total", "mse", "psnr")
+        )
+        for epoch in range(epoch_st, cfg.experiment.epochs):
+            loader.set_epoch(epoch)
+            accm = MetricAccumulator(metric_names)
+            t0 = time.time()
+            for it, batch in enumerate(loader):
+                if is_stage2:
+                    hw = batch["img0"].shape[1] * batch["img0"].shape[2]
+                    batch["sub_idx0"] = _subsample_indices(
+                        np_rng, global_batch, hw, cfg.loss.subsample.ratio
+                    )
+                    batch["sub_idx1"] = _subsample_indices(
+                        np_rng, global_batch, hw, cfg.loss.subsample.ratio
+                    )
+                else:
+                    batch["t_id"] = np_rng.integers(
+                        0, 3, size=(global_batch,)
+                    ).astype(np.int32)
+                batch = shard_batch(mesh, batch)
+                state, metrics = step_fn(state, batch)
+                accm.update(jax.device_get(metrics))
+            logger.info(
+                "epoch %d: %s (%.1fs)", epoch, accm.print_line(), time.time() - t0
+            )
+            if (epoch + 1) % cfg.experiment.save_ckpt_freq == 0 or epoch == cfg.experiment.epochs - 1:
+                save_checkpoint(
+                    os.path.join(run_dir, "ckpt"),
+                    int(jax.device_get(state.step)),
+                    jax.device_get(state),
+                )
+    logger.info("training done: %s", run_dir)
+
+
+if __name__ == "__main__":
+    main()

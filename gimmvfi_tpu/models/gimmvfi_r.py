@@ -1,0 +1,355 @@
+"""GIMM-VFI-R: RAFT flow + GIMM motion INR + AMT coarse-to-fine synthesis.
+
+Rebuilds `gimmvfi_r.py` as one flax module, TPU-first:
+
+  * NHWC + static shapes; the per-timestep decode/synthesis loop is a python
+    loop over a *static* list of timesteps (each iteration is the same traced
+    computation, XLA CSEs the shared flow estimation).
+  * Flow estimation runs once per pair; every timestep reuses the latents,
+    features and the bidirectional correlation pyramid
+    (`gimmvfi_r.py:126-156`).
+  * The DS_SCALE path (`gimmvfi_r.py:328-337,294-303`) downsizes the working
+    resolution and only upscales the final decoder outputs for the last
+    full-resolution blend.
+
+Inference entry: `interpolate(img_xs, t_values, ds_factor)`.
+Training entry:  `train_forward(img_xs, t, sub_idx0, sub_idx1)` — decodes the
+INR at t=0/t=1 on subsampled coordinates for flow-reconstruction supervision
+plus the full grid at t (`trainer_gimmvfi.py:216-248`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..flow.raft import RAFT
+from ..nn.layers import Conv2d
+from ..ops import corr as corr_ops
+from ..ops.coords import (
+    coords_grid,
+    normalize_flow,
+    sample_coords_3d,
+    unnormalize_flow,
+)
+from ..ops.interp import resize, warp
+from .gimm_core import LatentRefiner, MotionEncoder, splat_fuse_latents, splatting_weights
+from .hyponet import HypoNet
+from .synthesis import (
+    CombBlock,
+    InitDecoder,
+    MultiFlowDecoder,
+    UpdateBlock,
+    multi_flow_combine,
+)
+
+Array = jax.Array
+
+
+class GIMMVFI_R(nn.Module):
+    raft_iters: int = 20
+    num_flows: int = 3
+    fwarp_type: str = "linear"
+    corr_radius: int = 4
+    coord_range: tuple[float, float] = (-1.0, 1.0)
+
+    def setup(self):
+        f_dims = (256, 128)
+        skip = f_dims[1] // 2  # 64
+        self.flow_estimator = RAFT(iters=self.raft_iters)
+        self.amt_last_cproj = Conv2d(f_dims[0], 1, 1, 0, name="amt_last_cproj")
+        self.amt_second_last_cproj = Conv2d(f_dims[1], 1, 1, 0, name="amt_second_last_cproj")
+        self.amt_fproj = Conv2d(f_dims[0], 1, 1, 0, name="amt_fproj")
+        self.amt_init_decoder = InitDecoder(f_dims[0], skip)
+        self.amt_final_decoder = MultiFlowDecoder(f_dims[1], skip, self.num_flows)
+        self.amt_update4_low = UpdateBlock(cdim=f_dims[0] // 2, scale_factor=2.0)
+        self.amt_update4_high = UpdateBlock(cdim=f_dims[0] // 2, scale_factor=None)
+        self.amt_comb_block = CombBlock(self.num_flows)
+
+        self.cnn_encoder = MotionEncoder()
+        self.res_conv = LatentRefiner()
+        self.hyponet = HypoNet(
+            n_layer=5,
+            hidden_dim=128,
+            input_dim=3,
+            output_dim=2,
+            output_bias=0.5,
+            siren_w0=1.0,
+            add_coord_dim=32,
+        )
+        self.alpha_v = self.param("alpha_v", lambda k: jnp.ones((1,), jnp.float32))
+        self.alpha_fe = self.param("alpha_fe", lambda k: jnp.ones((1,), jnp.float32))
+
+    # ------------------------------------------------------------------ flow
+    def cal_bidirection_flow(self, img0: Array, img1: Array, train: bool = False):
+        """Run RAFT both directions; build AMT features + bidir corr pyramid
+        (`gimmvfi_r.py:126-156`). img0/img1 in [0, 255], NHWC."""
+        f01, feats0, fnet0 = self.flow_estimator(img0, img1, train=train)
+        f10, feats1, fnet1 = self.flow_estimator(img1, img0, train=train)
+
+        corr_pyrs = corr_ops.bidir_corr_pyramid(
+            self.amt_fproj(fnet0), self.amt_fproj(fnet1), num_levels=4
+        )
+        features0 = [
+            self.amt_second_last_cproj(feats0[0]),
+            self.amt_last_cproj(feats0[1]),
+        ]
+        features1 = [
+            self.amt_second_last_cproj(feats1[0]),
+            self.amt_last_cproj(feats1[1]),
+        ]
+        # (N, T=2, H, W, 2); normalized pair is (f01, -f10) (`:142-145`)
+        nflows, scalers = normalize_flow(
+            jnp.stack([f01, -f10], axis=1)
+        )
+        flows = jnp.stack([f01, f10], axis=1)
+        return nflows, flows, scalers, features0, features1, corr_pyrs
+
+    # ------------------------------------------------------------------ INR
+    def predict_flow(
+        self,
+        nflows: Array,
+        flows: Array,
+        t: Array,
+        coord: Array,
+        sub_idx: Optional[Array] = None,
+    ) -> Array:
+        """GIMM motion decode at timestep(s) t (`gimmvfi_r.py:158-211`).
+
+        nflows: (N, 2, H, W, 2) normalized; flows: (N, 2, H, W, 2) raw
+        (detached); t: (N,); coord: (N, 1, h, w, 3).
+        Returns (N, 1, h, w, 2) normalized INR flow (or (N, K, 2) when
+        sub_idx given).
+        """
+        flow01 = jax.lax.stop_gradient(flows[:, 0])
+        flow10 = jax.lax.stop_gradient(flows[:, 1])
+        w1, w2 = splatting_weights(flow01, flow10, self.alpha_v, self.alpha_fe)
+
+        latent0 = self.cnn_encoder(nflows[:, 0])
+        latent1 = self.cnn_encoder(nflows[:, 1])
+        pixel_latent = splat_fuse_latents(
+            self.res_conv, latent0, latent1, flow01, flow10, w1, w2, t,
+            self.fwarp_type,
+        )
+        return self.hyponet(coord, pixel_latent, sub_idx=sub_idx)
+
+    # ------------------------------------------------------------ synthesis
+    def _corr_scale_lookup(self, corr_pyrs, coord, flow0, flow1, embt, downsample=2):
+        """t-rescaled bidirectional correlation lookup (`gimmvfi_r.py:494-507`)."""
+        t0_scale = 1.0 / embt
+        t1_scale = 1.0 / (1.0 - embt)
+        if downsample != 1:
+            inv = 1.0 / downsample
+            flow0 = inv * resize(flow0, inv)
+            flow1 = inv * resize(flow1, inv)
+        corr0, corr1 = corr_ops.bidir_corr_lookup(
+            corr_pyrs,
+            coord + flow1 * t1_scale,
+            coord + flow0 * t0_scale,
+            radius=self.corr_radius,
+        )
+        corr = jnp.concatenate([corr0, corr1], axis=-1)
+        flow = jnp.concatenate([flow0, flow1], axis=-1)
+        return corr, flow
+
+    def warp_w_mask(self, img0, img1, ft0, ft1, mask, scale=1):
+        """Masked dual warp for the aux prediction (`gimmvfi_r.py:213-220`)."""
+        ft0 = scale * resize(ft0, scale)
+        ft1 = scale * resize(ft1, scale)
+        mask = jax.nn.sigmoid(resize(mask, scale))
+        return mask * warp(img0, ft0) + (1 - mask) * warp(img1, ft1)
+
+    def frame_synthesize(
+        self,
+        img_xs: Array,
+        flow_t: Array,
+        features0,
+        features1,
+        corr_pyrs,
+        cur_t: Array,
+        full_img: Optional[Array] = None,
+        train: bool = False,
+    ):
+        """AMT coarse-to-fine synthesis (`gimmvfi_r.py:222-322`).
+
+        img_xs: (N, 2, H, W, 3) working-res frames in [0,1]; flow_t:
+        (N, H, W, 2) INR flow at t; cur_t: (N, 1, 1, 1).
+        """
+        img0 = 2.0 * img_xs[:, 0] - 1.0
+        img1 = 2.0 * img_xs[:, 1] - 1.0
+        n, h, w, _ = img0.shape
+
+        lookup_coord = coords_grid(n, h // 8, w // 8)
+
+        flow_t0_full = flow_t * (-cur_t)
+        flow_t1_full = flow_t * (1.0 - cur_t)
+        flow_t0_4 = 0.25 * resize(flow_t0_full, 0.25)
+        flow_t1_4 = 0.25 * resize(flow_t1_full, 0.25)
+
+        # ---- scale 1/4
+        flowt0_4, flowt1_4, ft_4_ = self.amt_init_decoder(
+            features0[-1], features1[-1], flow_t0_4, flow_t1_4, img0, img1, train
+        )
+        mask_4_, ft_4_ = ft_4_[..., :1], ft_4_[..., 1:]
+        img_warp_4 = self.warp_w_mask(img0, img1, flowt0_4, flowt1_4, mask_4_, scale=4)
+        img_warp_4 = jnp.clip((img_warp_4 + 1.0) / 2.0, 0.0, 1.0)
+
+        corr_4, flow_4_lr = self._corr_scale_lookup(
+            corr_pyrs, lookup_coord, flowt0_4, flowt1_4, cur_t, downsample=2
+        )
+        d_ft, d_flow = self.amt_update4_low(ft_4_, flow_4_lr, corr_4)
+        flowt0_4 = flowt0_4 + d_flow[..., :2]
+        flowt1_4 = flowt1_4 + d_flow[..., 2:4]
+        ft_4_ = ft_4_ + d_ft
+
+        corr_4 = resize(corr_4, 2.0)
+        flow_4 = jnp.concatenate([flowt0_4, flowt1_4], axis=-1)
+        d_ft, d_flow = self.amt_update4_high(ft_4_, flow_4, corr_4)
+        flowt0_4 = flowt0_4 + d_flow[..., :2]
+        flowt1_4 = flowt1_4 + d_flow[..., 2:4]
+        ft_4_ = ft_4_ + d_ft
+
+        # ---- scale 1/1
+        flowt0_1, flowt1_1, mask, img_res = self.amt_final_decoder(
+            ft_4_, features0[0], features1[0], flowt0_4, flowt1_4, mask_4_,
+            img0, img1, train,
+        )
+
+        if full_img is not None:
+            img0 = 2.0 * full_img[:, 0] - 1.0
+            img1 = 2.0 * full_img[:, 1] - 1.0
+            inv = img1.shape[1] / flowt0_1.shape[1]
+            flowt0_1 = inv * resize(flowt0_1, inv)
+            flowt1_1 = inv * resize(flowt1_1, inv)
+            flow_t0_full = inv * resize(flow_t0_full, inv)
+            flow_t1_full = inv * resize(flow_t1_full, inv)
+            mask = resize(mask, inv)
+            img_res = resize(img_res, inv)
+
+        imgt_pred = multi_flow_combine(
+            self.amt_comb_block, img0, img1, flowt0_1, flowt1_1, mask, img_res
+        )
+        imgt_pred = jnp.clip(imgt_pred, 0.0, 1.0)
+
+        return {
+            "imgt_pred": imgt_pred,
+            "flowt0_pred": [flowt0_1, flowt0_4],
+            "flowt1_pred": [flowt1_1, flowt1_4],
+            "img_warp_4": img_warp_4,
+        }
+
+    # ----------------------------------------------------------- entry points
+    def interpolate(
+        self,
+        img_xs: Array,
+        t_values: Sequence[float],
+        ds_factor: Optional[float] = None,
+        train: bool = False,
+    ) -> dict[str, Any]:
+        """Interpolate at shared timesteps (`gimmvfi_r.py:324-407`, eval path).
+
+        img_xs: (N, 2, H, W, 3) in [0, 1]; t_values: static python floats.
+        Returns dict with per-timestep lists.
+        """
+        full_img = None
+        if ds_factor is not None and ds_factor != 1:
+            full_img = img_xs
+            small0 = resize(img_xs[:, 0], ds_factor)
+            small1 = resize(img_xs[:, 1], ds_factor)
+            img_xs = jnp.stack([small0, small1], axis=1)
+
+        n, _, h, w, _ = img_xs.shape
+        nflows, flows, scalers, features0, features1, corr_pyrs = (
+            self.cal_bidirection_flow(
+                255.0 * img_xs[:, 0], 255.0 * img_xs[:, 1], train=train
+            )
+        )
+
+        imgt_preds, flowts, inr_flows = [], [], []
+        for tv in t_values:
+            t = jnp.full((n,), tv, jnp.float32)
+            coord = sample_coords_3d(n, (h, w), jnp.asarray([tv]), self.coord_range)
+            ninr = self.predict_flow(nflows, flows, t, coord)
+            flow_t = unnormalize_flow(ninr, scalers.reshape(n, 1, 1, 1, 1))[:, 0]
+            out = self.frame_synthesize(
+                img_xs,
+                flow_t,
+                features0,
+                features1,
+                corr_pyrs,
+                t.reshape(n, 1, 1, 1),
+                full_img=full_img,
+                train=train,
+            )
+            imgt_preds.append(out["imgt_pred"])
+            flowts.append(flow_t)
+            inr_flows.append(ninr)
+
+        return {
+            "imgt_pred": imgt_preds,
+            "flowt": flowts,
+            "ninrflow": inr_flows,
+            "nflow": nflows,
+            "raft_flow": flows,
+        }
+
+    def train_forward(
+        self,
+        img_xs: Array,
+        t: Array,
+        sub_idx0: Array,
+        sub_idx1: Array,
+        train: bool = True,
+    ) -> dict[str, Any]:
+        """Stage-2 training forward (`trainer_gimmvfi.py:216-258`).
+
+        t: (N,) per-sample timesteps; sub_idx0/1: (N, K) flattened coordinate
+        indices for the t=0 / t=1 flow-reconstruction supervision.
+        """
+        n, _, h, w, _ = img_xs.shape
+        nflows, flows, scalers, features0, features1, corr_pyrs = (
+            self.cal_bidirection_flow(
+                255.0 * img_xs[:, 0], 255.0 * img_xs[:, 1], train=train
+            )
+        )
+
+        ones = jnp.ones((n,), jnp.float32)
+        coord0 = sample_coords_3d(n, (h, w), jnp.asarray([0.0]), self.coord_range)
+        coord1 = sample_coords_3d(n, (h, w), jnp.asarray([1.0]), self.coord_range)
+        coord_t = self._coords_per_sample(t, (h, w))
+
+        inr0 = self.predict_flow(nflows, flows, 0.0 * ones, coord0, sub_idx=sub_idx0)
+        inr1 = self.predict_flow(nflows, flows, ones, coord1, sub_idx=sub_idx1)
+        inr_t = self.predict_flow(nflows, flows, t, coord_t)
+
+        flow_t = unnormalize_flow(inr_t, scalers.reshape(n, 1, 1, 1, 1))[:, 0]
+        out = self.frame_synthesize(
+            img_xs,
+            flow_t,
+            features0,
+            features1,
+            corr_pyrs,
+            t.reshape(n, 1, 1, 1),
+            train=train,
+        )
+        out.update(
+            {
+                "ninrflow": [inr0, inr1],
+                "nflow": nflows,
+                "flowt": flow_t,
+                "raft_flow": flows,
+            }
+        )
+        return out
+
+    def _coords_per_sample(self, t: Array, hw: tuple[int, int]) -> Array:
+        base = sample_coords_3d(t.shape[0], hw, jnp.asarray([1.0]), self.coord_range)
+        tt = t.reshape(-1, 1, 1, 1, 1).astype(jnp.float32)
+        return jnp.concatenate([base[..., :1] * tt, base[..., 1:]], axis=-1)
+
+    def __call__(self, img_xs: Array, t_values: Sequence[float] = (0.5,)):
+        """Default apply: midpoint interpolation (init-friendly)."""
+        return self.interpolate(img_xs, t_values)

@@ -1,0 +1,279 @@
+"""AMT-style coarse-to-fine frame synthesis components (flax, NHWC).
+
+Rebuilds `modules/fi_components.py`: the init decoder (1/8 -> 1/4), the
+update blocks with bidirectional correlation input, the multi-flow final
+decoder (1/4 -> 1/1), and the multi-flow blend. BatchNorm layers keep torch
+semantics via flax nn.BatchNorm (running stats; `train` toggles batch-stat
+mode for stage-2 fine-tuning).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..nn.layers import Conv2d, PReLU, leaky_relu, pixel_shuffle
+from ..ops.interp import resize, warp
+
+Array = jax.Array
+
+
+class LateralBlock(nn.Module):
+    """conv-lrelu-conv residual block (`fi_components.py:17-29`)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        y = Conv2d(self.dim, 3, 1, 1, name="conv_0")(x)
+        y = leaky_relu(y, 0.1)
+        y = Conv2d(self.dim, 3, 1, 1, name="conv_2")(y)
+        return x + y
+
+
+class ConvPReLU(nn.Module):
+    """convrelu = Conv2d + PReLU (`fi_components.py:32-54`)."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 1
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = Conv2d(self.features, self.kernel_size, self.stride, self.padding, name="conv")(x)
+        return PReLU(self.features, name="prelu")(x)
+
+
+class ResBlock(nn.Module):
+    """Residual block with a narrow side channel (`fi_components.py:97-154`)."""
+
+    in_channels: int
+    side_channels: int
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        s = self.side_channels
+        out = ConvPReLU(self.in_channels, name="conv1")(x)
+
+        side = ConvPReLU(s, name="conv2")(out[..., -s:])
+        out = ConvPReLU(self.in_channels, name="conv3")(
+            jnp.concatenate([out[..., :-s], side], -1)
+        )
+
+        side = ConvPReLU(s, name="conv4")(out[..., -s:])
+        out = Conv2d(self.in_channels, 3, 1, 1, name="conv5")(
+            jnp.concatenate([out[..., :-s], side], -1)
+        )
+        return PReLU(self.in_channels, name="prelu")(x + out)
+
+
+class UpsampleHead(nn.Module):
+    """PixelShuffle(+PixelShuffle) + convrelu stack + 1x1 conv + BN + ReLU
+    (`fi_components.py:234-244` / `:284-295`)."""
+
+    in_ch: int
+    num_shuffles: int = 1
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        for _ in range(self.num_shuffles):
+            x = pixel_shuffle(x, 2)
+        c4 = self.in_ch // 4
+        x = ConvPReLU(c4, 5, 1, 2, name="cr0")(x)
+        x = ConvPReLU(c4, name="cr1")(x)
+        x = ConvPReLU(c4, name="cr2")(x)
+        x = ConvPReLU(c4, name="cr3")(x)
+        x = ConvPReLU(self.in_ch // 2, name="cr4")(x)
+        x = Conv2d(self.in_ch // 2, 1, 1, 0, name="proj")(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn"
+        )(x)
+        return nn.relu(x)
+
+
+class InitDecoder(nn.Module):
+    """NewInitDecoder (`fi_components.py:229-276`): upsample 1/8 features to
+    1/4, warp by the INR flows, refine through ResBlocks; emits corrected
+    flows + 1ch mask + feature."""
+
+    in_ch: int  # 256
+    skip_ch: int  # 64
+
+    @nn.compact
+    def __call__(self, f0, f1, flow0_in, flow1_in, img0, img1, train: bool = False):
+        up = UpsampleHead(self.in_ch, 1, name="upsample")
+        f0 = up(f0, train)
+        f1 = up(f1, train)
+        f0w = warp(f0, flow0_in)
+        f1w = warp(f1, flow1_in)
+        f_in = jnp.concatenate([f0w, f1w, flow0_in, flow1_in], -1)
+
+        scale = f_in.shape[1] / img0.shape[1]
+        img0 = resize(img0, scale)
+        img1 = resize(img1, scale)
+        w0 = warp(img0, flow0_in)
+        w1 = warp(img1, flow1_in)
+        f_in = jnp.concatenate([f_in, img0, img1, w0, w1], -1)
+
+        c = self.in_ch // 2
+        h = ConvPReLU(c, 1, 1, 0, name="cb0")(f_in)
+        h = ResBlock(c, self.skip_ch, name="cb1")(h)
+        h = ResBlock(c, self.skip_ch, name="cb2")(h)
+        h = ResBlock(c, self.skip_ch, name="cb3")(h)
+        out = Conv2d(c + 5, 3, 1, 1, name="cb4")(h)
+
+        ft_ = out[..., 4:]
+        flow0 = flow0_in + out[..., :2]
+        flow1 = flow1_in + out[..., 2:4]
+        return flow0, flow1, ft_
+
+
+class UpdateBlock(nn.Module):
+    """AMT BasicUpdateBlock (`fi_components.py:157-222`): bidirectional corr +
+    flow-pair encoders -> conv-'gru' -> delta feature & delta flow; optional
+    2x down/up internal scale."""
+
+    cdim: int  # 128
+    hidden_dim: int = 192
+    flow_dim: int = 64
+    corr_dim: int = 256
+    corr_dim2: int = 192
+    fc_dim: int = 188
+    scale_factor: Optional[float] = None
+    out_num: int = 1
+
+    @nn.compact
+    def __call__(self, net: Array, flow: Array, corr: Array):
+        sf = self.scale_factor
+        if sf is not None:
+            net = resize(net, 1.0 / sf)
+        cor = leaky_relu(Conv2d(self.corr_dim, 1, 1, 0, name="convc1")(corr), 0.1)
+        cor = leaky_relu(Conv2d(self.corr_dim2, 3, 1, 1, name="convc2")(cor), 0.1)
+        flo = leaky_relu(Conv2d(self.flow_dim * 2, 7, 1, 3, name="convf1")(flow), 0.1)
+        flo = leaky_relu(Conv2d(self.flow_dim, 3, 1, 1, name="convf2")(flo), 0.1)
+        inp = leaky_relu(
+            Conv2d(self.fc_dim, 3, 1, 1, name="conv")(
+                jnp.concatenate([cor, flo], -1)
+            ),
+            0.1,
+        )
+        inp = jnp.concatenate([inp, flow, net], -1)
+
+        h = Conv2d(self.hidden_dim, 3, 1, 1, name="gru_0")(inp)
+        h = leaky_relu(h, 0.1)
+        h = Conv2d(self.hidden_dim, 3, 1, 1, name="gru_2")(h)
+
+        dnet = Conv2d(self.hidden_dim, 3, 1, 1, name="feat_head_0")(h)
+        dnet = leaky_relu(dnet, 0.1)
+        dnet = Conv2d(self.cdim, 3, 1, 1, name="feat_head_2")(dnet)
+
+        dflow = Conv2d(self.hidden_dim, 3, 1, 1, name="flow_head_0")(h)
+        dflow = leaky_relu(dflow, 0.1)
+        dflow = Conv2d(4 * self.out_num, 3, 1, 1, name="flow_head_2")(dflow)
+
+        if sf is not None:
+            dnet = resize(dnet, sf)
+            dflow = sf * resize(dflow, sf)
+        return dnet, dflow
+
+
+class MultiFlowDecoder(nn.Module):
+    """NewMultiFlowDecoder (`fi_components.py:279-340`): 1/4 -> 1/1 via double
+    PixelShuffle; predicts num_flows flow pairs + masks + image residuals."""
+
+    in_ch: int  # 128
+    skip_ch: int  # 64
+    num_flows: int = 3
+
+    @nn.compact
+    def __call__(self, ft_, f0, f1, flow0, flow1, mask, img0, img1, train: bool = False):
+        up = UpsampleHead(self.in_ch, 2, name="upsample")
+        f0 = up(f0, train)
+        f1 = up(f1, train)
+        n = self.num_flows
+
+        flow0 = 4.0 * resize(flow0, 4.0)
+        flow1 = 4.0 * resize(flow1, 4.0)
+        ft_ = resize(ft_, 4.0)
+        mask = resize(mask, 4.0)
+        f0w = warp(f0, flow0)
+        f1w = warp(f1, flow1)
+
+        w0 = warp(img0, flow0)
+        w1 = warp(img1, flow1)
+        f_in = jnp.concatenate(
+            [ft_, f0w, f1w, flow0, flow1, mask, img0, img1, w0, w1], -1
+        )
+
+        c = self.in_ch * 2
+        h = ConvPReLU(c, name="cb0")(f_in)
+        h = ResBlock(c, self.skip_ch, name="cb1")(h)
+        h = ResBlock(c, self.skip_ch, name="cb2")(h)
+        h = ResBlock(c, self.skip_ch, name="cb3")(h)
+        out = Conv2d(8 * n, 3, 1, 1, name="cb4")(h)
+
+        d_flow0, d_flow1, d_mask, img_res = jnp.split(
+            out, [2 * n, 4 * n, 5 * n], axis=-1
+        )
+        mask = jax.nn.sigmoid(d_mask + jnp.tile(mask, (1, 1, 1, n)))
+        flow0 = d_flow0 + jnp.tile(flow0, (1, 1, 1, n))
+        flow1 = d_flow1 + jnp.tile(flow1, (1, 1, 1, n))
+        return flow0, flow1, mask, img_res
+
+
+class CombBlock(nn.Module):
+    """7x7 conv + PReLU + 7x7 conv correction head (`gimmvfi_r.py:60-64`)."""
+
+    num_flows: int = 3
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        n = self.num_flows
+        x = Conv2d(6 * n, 7, 1, 3, name="conv_0")(x)
+        x = PReLU(6 * n, name="prelu")(x)
+        return Conv2d(3, 7, 1, 3, name="conv_2")(x)
+
+
+def multi_flow_combine(
+    comb_block,
+    img0: Array,
+    img1: Array,
+    flow0: Array,
+    flow1: Array,
+    mask: Array,
+    img_res: Array,
+) -> Array:
+    """Blend num_flows backward warps of both frames (`fi_components.py:57-94`).
+
+    img0/img1: (N, H, W, 3) in [-1, 1]; flow0/flow1: (N, H, W, 2*K);
+    mask: (N, H, W, K); img_res: (N, H, W, 3*K). Output in [0, 1].
+    """
+    n, h, w, ck = flow0.shape
+    k = ck // 2
+
+    def regroup(x, c):
+        # (N, H, W, K*c) -> (N*K, H, W, c) keeping torch's (b, k) flattening
+        return (
+            x.reshape(n, h, w, k, c).transpose(0, 3, 1, 2, 4).reshape(n * k, h, w, c)
+        )
+
+    f0 = regroup(flow0, 2)
+    f1 = regroup(flow1, 2)
+    m = regroup(mask, 1)
+    res = regroup(img_res, 3)
+    i0 = jnp.repeat(img0, k, axis=0)
+    i1 = jnp.repeat(img1, k, axis=0)
+
+    w0 = warp(i0, f0)
+    w1 = warp(i1, f1)
+    img_warps = m * w0 + (1 - m) * w1 + res  # (N*K, H, W, 3)
+    img_warps = img_warps.reshape(n, k, h, w, 3)
+
+    stacked = img_warps.transpose(0, 2, 3, 1, 4).reshape(n, h, w, k * 3)
+    res_corr = comb_block(stacked)
+    pred = img_warps.mean(axis=1) + res_corr
+    return (pred + 1.0) / 2.0

@@ -1,0 +1,227 @@
+"""Bilinear sampling / warping / resizing with PyTorch-exact semantics.
+
+The reference model mixes several interpolation conventions
+(`/root/reference/src/models/generalizable_INR/modules/fi_utils.py:19-70`,
+`raft/utils/utils.py:66-93`):
+
+  * backward warp           : grid_sample, bilinear, border padding, align_corners=True
+  * correlation lookup      : grid_sample, bilinear, zeros padding, align_corners=True
+  * resize (decoders, DS)   : F.interpolate bilinear, align_corners=False
+  * upflow8                 : F.interpolate bilinear, align_corners=True
+  * hyponet latent resample : F.interpolate bilinear (size=), align_corners=False
+
+Getting these exactly right is where silent PSNR drift comes from, so each
+helper here states its convention and is unit-tested against torch-CPU goldens
+(tests/test_interp.py).
+
+All functions are channels-last (NHWC) and pure, so they fuse under jit.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def _gather_2d(img: Array, ix: Array, iy: Array) -> Array:
+    """Gather img[n, iy, ix, :] for integer index arrays.
+
+    img: (N, H, W, C); ix, iy: (N, P) int32 already in-bounds.
+    Returns (N, P, C).
+    """
+    n, h, w, c = img.shape
+    flat = img.reshape(n, h * w, c)
+    idx = iy * w + ix  # (N, P)
+    return jnp.take_along_axis(flat, idx[..., None], axis=1)
+
+
+def bilinear_sample(
+    img: Array,
+    x: Array,
+    y: Array,
+    padding_mode: str = "zeros",
+) -> Array:
+    """Sample `img` at continuous pixel coordinates (x, y), bilinear.
+
+    img: (N, H, W, C). x, y: (N, P) float pixel coordinates (0..W-1, 0..H-1).
+    padding_mode: "zeros" (out-of-bounds taps contribute 0, like
+    grid_sample zeros) or "border" (taps clamp to the border).
+
+    Returns (N, P, C).
+    """
+    n, h, w, c = img.shape
+    dtype = img.dtype
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = x - x0
+    wy = y - y0
+
+    ix0 = x0.astype(jnp.int32)
+    iy0 = y0.astype(jnp.int32)
+    ix1 = ix0 + 1
+    iy1 = iy0 + 1
+
+    def corner(ix, iy, weight):
+        cx = jnp.clip(ix, 0, w - 1)
+        cy = jnp.clip(iy, 0, h - 1)
+        val = _gather_2d(img, cx, cy)
+        if padding_mode == "zeros":
+            inb = (
+                (ix >= 0) & (ix <= w - 1) & (iy >= 0) & (iy <= h - 1)
+            ).astype(dtype)
+            weight = weight * inb
+        return val * weight[..., None].astype(dtype)
+
+    out = (
+        corner(ix0, iy0, (1.0 - wx) * (1.0 - wy))
+        + corner(ix1, iy0, wx * (1.0 - wy))
+        + corner(ix0, iy1, (1.0 - wx) * wy)
+        + corner(ix1, iy1, wx * wy)
+    )
+    return out
+
+
+def grid_sample(
+    img: Array,
+    grid: Array,
+    padding_mode: str = "zeros",
+    align_corners: bool = True,
+) -> Array:
+    """torch.nn.functional.grid_sample equivalent (bilinear), NHWC.
+
+    img: (N, H, W, C); grid: (N, Hg, Wg, 2) normalized coords in [-1, 1],
+    grid[..., 0] = x, grid[..., 1] = y. Returns (N, Hg, Wg, C).
+    """
+    n, h, w, _ = img.shape
+    gh, gw = grid.shape[1:3]
+    gx = grid[..., 0].reshape(n, -1)
+    gy = grid[..., 1].reshape(n, -1)
+    if align_corners:
+        x = (gx + 1.0) * 0.5 * (w - 1)
+        y = (gy + 1.0) * 0.5 * (h - 1)
+    else:
+        x = ((gx + 1.0) * w - 1.0) * 0.5
+        y = ((gy + 1.0) * h - 1.0) * 0.5
+    out = bilinear_sample(img, x, y, padding_mode=padding_mode)
+    return out.reshape(n, gh, gw, -1)
+
+
+def warp(img: Array, flow: Array) -> Array:
+    """Backward-warp `img` by `flow` (border padding, align_corners=True).
+
+    Matches the reference `warp` (`fi_utils.py:19-49`): sample position for
+    output pixel (i, j) is (j + u, i + v) in pixel coordinates, taps clamped
+    to the border.
+
+    img: (N, H, W, C); flow: (N, H, W, 2) with flow[..., 0]=u (x), 1=v (y).
+    """
+    n, h, w, _ = img.shape
+    jj = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    ii = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    x = (jj + flow[..., 0]).reshape(n, -1)
+    y = (ii + flow[..., 1]).reshape(n, -1)
+    out = bilinear_sample(img, x, y, padding_mode="border")
+    return out.reshape(n, h, w, -1)
+
+
+def bilinear_sampler(img: Array, coords: Array) -> Array:
+    """RAFT's pixel-coordinate sampler (`raft/utils/utils.py:66-80`).
+
+    img: (N, H, W, C); coords: (N, Hg, Wg, 2) pixel coords (x, y).
+    grid_sample with zeros padding, align_corners=True — in pixel space the
+    position is used as-is.
+    """
+    n = img.shape[0]
+    gh, gw = coords.shape[1:3]
+    x = coords[..., 0].reshape(n, -1)
+    y = coords[..., 1].reshape(n, -1)
+    out = bilinear_sample(img, x, y, padding_mode="zeros")
+    return out.reshape(n, gh, gw, -1)
+
+
+def _resize_axis_weights(
+    in_size: int, out_size: int, align_corners: bool, scale: float | None = None
+):
+    """Return (idx0, idx1, w1) for 1-D bilinear resize along one axis.
+
+    `scale` is the in/out pixel ratio; torch uses the user-provided
+    scale_factor directly when one is given (recompute_scale_factor=None),
+    which differs from in_size/out_size when sizes don't divide evenly.
+    """
+    if align_corners and out_size > 1:
+        src = jnp.arange(out_size, dtype=jnp.float32) * (
+            (in_size - 1) / (out_size - 1)
+        )
+    elif align_corners:
+        src = jnp.zeros((out_size,), dtype=jnp.float32)
+    else:
+        scale = in_size / out_size if scale is None else scale
+        src = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) * scale - 0.5
+    # torch clamps negative source positions to 0; positions beyond the last
+    # pixel collapse onto it because both taps clamp to in_size-1.
+    src = jnp.maximum(src, 0.0)
+    i0 = jnp.minimum(jnp.floor(src).astype(jnp.int32), in_size - 1)
+    i1 = jnp.minimum(i0 + 1, in_size - 1)
+    w1 = src - i0.astype(jnp.float32)
+    return i0, i1, w1
+
+
+def resize_bilinear(
+    img: Array,
+    out_hw: tuple[int, int],
+    align_corners: bool = False,
+    scale: float | None = None,
+) -> Array:
+    """F.interpolate(..., mode="bilinear") equivalent, NHWC, separable.
+
+    img: (N, H, W, C) -> (N, out_h, out_w, C). No antialiasing (torch
+    semantics). align_corners picks the torch coordinate convention.
+    """
+    n, h, w, c = img.shape
+    oh, ow = out_hw
+    if (oh, ow) == (h, w):
+        return img
+    dtype = img.dtype
+    x = img.astype(jnp.float32)
+
+    i0, i1, wy = _resize_axis_weights(h, oh, align_corners, scale)
+    x = x[:, i0] * (1.0 - wy)[None, :, None, None] + x[:, i1] * wy[None, :, None, None]
+
+    j0, j1, wx = _resize_axis_weights(w, ow, align_corners, scale)
+    x = x[:, :, j0] * (1.0 - wx)[None, None, :, None] + x[:, :, j1] * wx[None, None, :, None]
+    return x.astype(dtype)
+
+
+def resize(img: Array, scale_factor: float, align_corners: bool = False) -> Array:
+    """Reference `resize` (`fi_utils.py:67-70`): scale-factor bilinear resize."""
+    n, h, w, c = img.shape
+    oh = int(h * scale_factor)
+    ow = int(w * scale_factor)
+    return resize_bilinear(
+        img, (oh, ow), align_corners=align_corners, scale=1.0 / scale_factor
+    )
+
+
+def upflow8(flow: Array) -> Array:
+    """8x bilinear upsampling of flow, scaled by 8 (`raft/utils/utils.py:91-93`).
+
+    align_corners=True, matching the reference.
+    """
+    n, h, w, _ = flow.shape
+    return 8.0 * resize_bilinear(flow, (8 * h, 8 * w), align_corners=True)
+
+
+def avg_pool2x2(x: Array) -> Array:
+    """F.avg_pool2d(x, 2, stride=2) equivalent, NHWC; floors odd sizes."""
+    n, h, w, c = x.shape
+    h2, w2 = h // 2, w // 2
+    x = x[:, : h2 * 2, : w2 * 2]
+    x = x.reshape(n, h2, 2, w2, 2, c)
+    return x.mean(axis=(2, 4))

@@ -1,0 +1,124 @@
+"""Softmax/linear/avg/sum forward splatting (softsplat) for TPU.
+
+Rebuilds the reference CuPy/CUDA kernel
+(`/root/reference/src/models/generalizable_INR/modules/softsplat.py:286-421`)
+as an XLA program: each source pixel (i, j) scatters `value * weight` into the
+four destination pixels around (j + u, i + v) with bilinear weights; the
+`avg`/`linear`/`softmax` modes append a weight channel and normalize by it
+with one of three epsilon policies (`-addeps`, `-zeroeps`, `-clipeps`).
+
+Unlike the reference's `atomicAdd` (non-deterministic float accumulation
+order), XLA's scatter-add has a fixed reduction order, so this implementation
+is bit-deterministic run-to-run — an intentional improvement (SURVEY.md §5).
+
+Gradients come from JAX autodiff: d/d(value) is the bilinear gather the
+reference implements as `softsplat_ingrad`, and d/d(flow) flows through the
+bilinear weights with the corner positions treated as constants (floor has
+zero gradient) — exactly the reference `softsplat_flowgrad` semantics.
+
+Layout: channels last. `ten_in` (N, H, W, C), `flow` (N, H, W, 2),
+`metric` (N, H, W, 1).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+_EPS = 1e-7  # 0.0000001 in the reference
+
+
+def _splat_core(ten_in: Array, flow: Array) -> Array:
+    """Scatter-add splat of ten_in along flow. Shapes: (N,H,W,C), (N,H,W,2)."""
+    n, h, w, c = ten_in.shape
+    f32 = jnp.float32
+    u = flow[..., 0].astype(f32)
+    v = flow[..., 1].astype(f32)
+
+    jj = jnp.arange(w, dtype=f32)[None, None, :]
+    ii = jnp.arange(h, dtype=f32)[None, :, None]
+    x = jj + u  # (N, H, W)
+    y = ii + v
+
+    finite = jnp.isfinite(x) & jnp.isfinite(y)
+    x = jnp.where(finite, x, -10.0)
+    y = jnp.where(finite, y, -10.0)
+
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+
+    # bilinear corner weights; corner integer positions are non-differentiable
+    wx1 = x - jax.lax.stop_gradient(x0f)
+    wy1 = y - jax.lax.stop_gradient(y0f)
+    wx0 = 1.0 - wx1
+    wy0 = 1.0 - wy1
+
+    vals = ten_in.astype(f32).reshape(n, h * w, c)
+    out = jnp.zeros((n, h * w, c), dtype=f32)
+
+    def scatter(out, ix, iy, wgt):
+        ok = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
+        # out-of-bounds -> index h*w, dropped by mode="drop"
+        idx = jnp.where(ok, iy * w + ix, h * w).reshape(n, h * w)
+        upd = vals * wgt.reshape(n, h * w, 1)
+        return out.at[jnp.arange(n)[:, None], idx].add(upd, mode="drop")
+
+    out = scatter(out, x0, y0, wx0 * wy0)
+    out = scatter(out, x0 + 1, y0, wx1 * wy0)
+    out = scatter(out, x0, y0 + 1, wx0 * wy1)
+    out = scatter(out, x0 + 1, y0 + 1, wx1 * wy1)
+    return out.reshape(n, h, w, c).astype(ten_in.dtype)
+
+
+def softsplat(
+    ten_in: Array,
+    flow: Array,
+    metric: Array | None,
+    mode: str,
+    return_norm: bool = False,
+):
+    """Forward-splat with mode/eps handling (`softsplat.py:286-352`).
+
+    mode: "sum" | "avg" | "linear[-eps]" | "softmax[-eps]" where eps is one of
+    "addeps", "zeroeps", "clipeps" (default addeps).
+    """
+    base = mode.split("-")[0]
+    assert base in ("sum", "avg", "linear", "softmax"), mode
+    if base in ("sum", "avg"):
+        assert metric is None
+    else:
+        assert metric is not None
+
+    if base == "avg":
+        ones = jnp.ones((*ten_in.shape[:3], 1), dtype=ten_in.dtype)
+        ten_in = jnp.concatenate([ten_in, ones], axis=-1)
+    elif base == "linear":
+        ten_in = jnp.concatenate([ten_in * metric, metric], axis=-1)
+    elif base == "softmax":
+        m = jnp.exp(metric)
+        ten_in = jnp.concatenate([ten_in * m, m], axis=-1)
+
+    out = _splat_core(ten_in, flow)
+
+    if base == "sum":
+        return out
+
+    norm = out[..., -1:]
+    parts = mode.split("-")
+    eps_policy = parts[1] if len(parts) > 1 else "addeps"
+    if eps_policy == "addeps":
+        norm = norm + _EPS
+    elif eps_policy == "zeroeps":
+        norm = jnp.where(norm == 0.0, 1.0, norm)
+    elif eps_policy == "clipeps":
+        norm = jnp.clip(norm, _EPS, None)
+    else:
+        raise ValueError(f"unknown eps policy: {mode}")
+
+    if return_norm:
+        return out[..., :-1], norm
+    return out[..., :-1] / norm

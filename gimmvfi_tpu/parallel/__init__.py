@@ -1,0 +1,7 @@
+from .mesh import (
+    batch_sharding,
+    create_mesh,
+    replicate,
+    replicated,
+    shard_batch,
+)
