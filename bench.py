@@ -21,7 +21,7 @@ V100_REFERENCE_FPS_720P_8X = 4.0  # estimate, pending reference measurement
 
 
 def main():
-    from gimmvfi_tpu.models.gimmvfi_r import GIMMVFI_R
+    from gimmvfi_tpu.models.gimmvfi_r import GIMMVFI_R, interpolate_sequential
 
     n_t = 7  # 8x => 7 intermediate frames
     h, w = 736, 1280  # 720p padded to /32
@@ -39,12 +39,14 @@ def main():
         var_shapes,
     )
 
-    ts = tuple((i + 1) / (n_t + 1) for i in range(n_t))
+    ts = jnp.asarray([(i + 1) / (n_t + 1) for i in range(n_t)], jnp.float32)
 
     @jax.jit
     def run(variables, img_xs):
-        out = model.apply(variables, img_xs, ts, method=model.interpolate)
-        return jnp.stack(out["imgt_pred"])
+        # sequential per-timestep decode: one timestep's synthesis live at a
+        # time (lax.scan), flow estimation shared across all timesteps
+        out = interpolate_sequential(model, variables, img_xs, ts)
+        return out["imgt_pred"]
 
     img_xs = jax.random.uniform(jax.random.PRNGKey(1), (1, 2, h, w, 3))
 

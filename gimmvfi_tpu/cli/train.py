@@ -26,7 +26,9 @@ from ..parallel import create_mesh, replicate, shard_batch
 from ..train import (
     create_optimizer,
     create_train_state,
+    make_gimm_eval_step,
     make_gimm_train_step,
+    make_gimmvfi_eval_step,
     make_gimmvfi_train_step,
     warmup_cosine_schedule,
 )
@@ -37,10 +39,20 @@ from ..utils.metrics import MetricAccumulator
 logger = logging.getLogger("gimmvfi_tpu.train")
 
 
-def setup_run_dir(result_path: str, cfg) -> str:
-    run_dir = os.path.join(result_path, time.strftime("%d%m%Y_%H%M%S"))
-    os.makedirs(run_dir, exist_ok=True)
-    save_config(cfg, os.path.join(run_dir, "config.yaml"))
+def setup_run_dir(result_path: str, cfg, resume: bool = False) -> str:
+    """Create a timestamped run dir — or reuse `result_path` itself when
+    resuming (the reference reloads config.yaml from the result dir,
+    `utils/setup.py:65-67`; round-1 bug: resume pointed at a fresh empty dir)."""
+    if resume:
+        run_dir = result_path
+        if not os.path.isdir(os.path.join(run_dir, "ckpt")):
+            raise FileNotFoundError(
+                f"--resume expects an existing run dir with a ckpt/: {run_dir}"
+            )
+    else:
+        run_dir = os.path.join(result_path, time.strftime("%d%m%Y_%H%M%S"))
+        os.makedirs(run_dir, exist_ok=True)
+        save_config(cfg, os.path.join(run_dir, "config.yaml"))
     logging.basicConfig(
         level=logging.INFO,
         handlers=[
@@ -51,6 +63,11 @@ def setup_run_dir(result_path: str, cfg) -> str:
         force=True,
     )
     return run_dir
+
+
+def param_count(tree) -> int:
+    """Parameter count logging (reference `utils/profiler.py:12-41`)."""
+    return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(tree))
 
 
 def _subsample_indices(rng: np.random.Generator, batch: int, hw: int, ratio: float):
@@ -65,13 +82,29 @@ def main(argv=None):
     p.add_argument("--config", required=True)
     p.add_argument("--result-path", default="runs")
     p.add_argument("--load-path", default=None, help="partial init (stage-1 ckpt)")
-    p.add_argument("--resume", action="store_true")
+    p.add_argument(
+        "--resume",
+        action="store_true",
+        help="resume: --result-path must be an EXISTING run dir with ckpt/",
+    )
     p.add_argument("--overrides", nargs="*", default=[])
     p.add_argument("--smoke-test", action="store_true")
+    p.add_argument(
+        "--lpips-path",
+        default=None,
+        help="LPIPS weights (.pt with lpips layout) to enable the perceptual "
+        "loss from the -P recipes",
+    )
     args = p.parse_args(argv)
 
-    cfg = load_config(args.config, args.overrides)
-    run_dir = setup_run_dir(args.result_path, cfg)
+    config_path = args.config
+    if args.resume:
+        # reload the exact config the run was started with
+        saved = os.path.join(args.result_path, "config.yaml")
+        if os.path.exists(saved):
+            config_path = saved
+    cfg = load_config(config_path, args.overrides)
+    run_dir = setup_run_dir(args.result_path, cfg, resume=args.resume)
     seed = cfg.experiment.seed
     np_rng = np.random.default_rng(seed)
 
@@ -88,10 +121,14 @@ def main(argv=None):
         trn.meta_data = trn.meta_data[: 2 * global_batch]
         val.meta_data = val.meta_data[: 2 * global_batch]
     loader = DataLoader(trn, global_batch, seed=seed)
+    val_loader = DataLoader(val, global_batch, seed=seed, shuffle=False)
 
     arch = cfg.arch.type.lower()
     is_stage2 = arch.startswith("gimmvfi")
-    model = create_model(arch, raft_iters=cfg.arch.raft_iter) if is_stage2 else create_model(arch)
+    if arch == "gimmvfi_r":
+        model = create_model(arch, raft_iters=cfg.arch.raft_iter)
+    else:
+        model = create_model(arch)
 
     # init params
     rng = jax.random.PRNGKey(seed)
@@ -153,19 +190,41 @@ def main(argv=None):
 
     use_ema = bool(cfg.arch.ema)
     state = create_train_state(variables, tx, use_ema=use_ema)
+    logger.info(
+        "#params: %.2fM (%s)", param_count(variables["params"]) / 1e6, arch
+    )
+
+    lpips_fn = None
+    if is_stage2 and cfg.loss.perceptual_loss and args.lpips_path:
+        from ..train.lpips import LPIPS
+        from ..utils.convert import convert_lpips, load_torch_state_dict
+
+        lp_params, _ = convert_lpips(load_torch_state_dict(args.lpips_path))
+        lpips_model = LPIPS()
+
+        def lpips_fn(pred, gt):
+            return lpips_model.apply(
+                {"params": lp_params}, pred, gt, normalize=True
+            )
+
+        logger.info("perceptual (LPIPS) loss enabled from %s", args.lpips_path)
+
     if is_stage2:
         step_fn = make_gimmvfi_train_step(
-            model, tx, rec_weight=cfg.arch.rec_weight, use_ema=use_ema
+            model, tx, rec_weight=cfg.arch.rec_weight, lpips_fn=lpips_fn,
+            use_ema=use_ema,
         )
+        eval_fn = jax.jit(make_gimmvfi_eval_step(model, cfg.arch.rec_weight))
     else:
         step_fn = make_gimm_train_step(model, tx, use_ema=use_ema)
+        eval_fn = jax.jit(make_gimm_eval_step(model))
     step_fn = jax.jit(step_fn, donate_argnums=(0,))
 
     epoch_st = 0
     if args.resume:
         state, last = restore_checkpoint(os.path.join(run_dir, "ckpt"), state)
         epoch_st = last // steps_per_epoch
-        logger.info("resumed from step %d", last)
+        logger.info("resumed from step %d (epoch %d)", last, epoch_st)
 
     with mesh:
         state = replicate(mesh, state)
@@ -197,7 +256,40 @@ def main(argv=None):
             logger.info(
                 "epoch %d: %s (%.1fs)", epoch, accm.print_line(), time.time() - t0
             )
-            if (epoch + 1) % cfg.experiment.save_ckpt_freq == 0 or epoch == cfg.experiment.epochs - 1:
+
+            # validation + EMA validation every test_freq epochs
+            # (reference `trainers/trainer.py:94-130`)
+            last_epoch = epoch == cfg.experiment.epochs - 1
+            if (epoch + 1) % cfg.experiment.test_freq == 0 or last_epoch:
+                eval_sets = [("valid", state.params, state.batch_stats)]
+                if use_ema and state.ema is not None:
+                    eval_sets.append(
+                        ("valid_ema", state.ema["params"], state.ema["batch_stats"])
+                    )
+                for tag, ev_params, ev_stats in eval_sets:
+                    vaccm = MetricAccumulator(
+                        ("loss_total", "rec", "psnr")
+                        if is_stage2
+                        else ("loss_total", "mse", "psnr")
+                    )
+                    for batch in val_loader:
+                        if is_stage2:
+                            hw = batch["img0"].shape[1] * batch["img0"].shape[2]
+                            batch["sub_idx0"] = _subsample_indices(
+                                np_rng, global_batch, hw, cfg.loss.subsample.ratio
+                            )
+                            batch["sub_idx1"] = _subsample_indices(
+                                np_rng, global_batch, hw, cfg.loss.subsample.ratio
+                            )
+                            batch = shard_batch(mesh, batch)
+                            m = eval_fn(ev_params, ev_stats, batch)
+                        else:
+                            batch = shard_batch(mesh, batch)
+                            m = eval_fn(ev_params, batch)
+                        vaccm.update(jax.device_get(m))
+                    logger.info("epoch %d [%s]: %s", epoch, tag, vaccm.print_line())
+
+            if (epoch + 1) % cfg.experiment.save_ckpt_freq == 0 or last_epoch:
                 save_checkpoint(
                     os.path.join(run_dir, "ckpt"),
                     int(jax.device_get(state.step)),

@@ -26,24 +26,67 @@ from ..utils.flow_viz import flow_to_image
 
 
 def images_to_video(frames: list[np.ndarray], path: str, fps: int = 30):
-    """cv2 VideoWriter path; frames are RGB uint8 (`video_Nx.py:53-84`)."""
+    """Frames are RGB uint8. cv2 VideoWriter below 2048px; PNG + ffmpeg
+    subprocess above (cv2's encoder rejects very large frames,
+    `video_Nx.py:53-84`)."""
+    h, w = frames[0].shape[:2]
+    if max(h, w) > 2048:
+        return _images_to_video_ffmpeg(frames, path, fps)
     import cv2
 
-    h, w = frames[0].shape[:2]
     writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
     for f in frames:
         writer.write(f[:, :, ::-1])
     writer.release()
 
 
-def load_model(ckpt_path: str, raft_iters: int = 20):
-    """Build GIMMVFI_R and load a reference .pt or orbax checkpoint."""
-    model = GIMMVFI_R(raft_iters=raft_iters)
-    if ckpt_path.endswith((".pt", ".pth")):
-        from ..utils.convert import convert_gimmvfi_r, load_torch_state_dict
+def _images_to_video_ffmpeg(frames: list[np.ndarray], path: str, fps: int):
+    """>2048px fallback: dump PNGs, encode with ffmpeg (`video_Nx.py:62-84`)."""
+    import shutil
+    import subprocess
+    import tempfile
 
+    import cv2
+
+    tmp = tempfile.mkdtemp(prefix="gimmvfi_frames_")
+    try:
+        for i, f in enumerate(frames):
+            cv2.imwrite(os.path.join(tmp, f"{i:06d}.png"), f[:, :, ::-1])
+        cmd = [
+            "ffmpeg", "-y", "-framerate", str(fps),
+            "-i", os.path.join(tmp, "%06d.png"),
+            "-c:v", "libx264", "-pix_fmt", "yuv420p", path,
+        ]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True)
+        except FileNotFoundError:
+            # no ffmpeg on PATH: keep the PNGs next to the target instead
+            png_dir = path + ".frames"
+            shutil.move(tmp, png_dir)
+            print(f"ffmpeg unavailable; frames saved to {png_dir}")
+            return
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def load_model(ckpt_path: str, model_type: str = "gimmvfi_r", flow_iters: int = None):
+    """Build GIMM-VFI (R or F) and load a reference .pt or orbax checkpoint."""
+    if model_type == "gimmvfi_f":
+        from ..models.gimmvfi_f import GIMMVFI_F
+
+        model = GIMMVFI_F(ff_iters=flow_iters or 32)
+    else:
+        model = GIMMVFI_R(raft_iters=flow_iters or 20)
+    if ckpt_path.endswith((".pt", ".pth")):
+        from ..utils.convert import (
+            convert_gimmvfi_f,
+            convert_gimmvfi_r,
+            load_torch_state_dict,
+        )
+
+        convert = convert_gimmvfi_f if model_type == "gimmvfi_f" else convert_gimmvfi_r
         sd = load_torch_state_dict(ckpt_path)
-        params, stats = convert_gimmvfi_r(sd)
+        params, stats = convert(sd)
         variables = {"params": params, "batch_stats": stats}
     else:
         import orbax.checkpoint as ocp
@@ -54,13 +97,16 @@ def load_model(ckpt_path: str, raft_iters: int = 20):
 
 
 @functools.lru_cache(maxsize=4)
-def _jitted_interpolate(model):
-    # cached per model config: one compile per (shape, ts, ds) combination
+def _jitted_interpolate(model, ds):
+    # cached per (model config, ds): one compile per (shape, len(ts)) combo.
+    # ts is a traced array — changing N reuses the compile only if len(ts)
+    # matches; the sequential scan keeps one timestep's memory live at a time.
+    from ..models.gimmvfi_r import interpolate_sequential
+
     return jax.jit(
-        lambda variables, xs, ts, ds: model.apply(
-            variables, xs, ts, ds, method=model.interpolate
-        ),
-        static_argnums=(2, 3),
+        lambda variables, xs, ts: interpolate_sequential(
+            model, variables, xs, ts, ds
+        )
     )
 
 
@@ -68,10 +114,10 @@ def interpolate_pair(model, variables, img0, img1, n, ds_factor):
     """One padded forward emitting N-1 timesteps (`video_Nx.py:163-181`)."""
     padder = InputPadder(img0.shape, divisor=32)
     xs = jnp.stack(padder.pad(jnp.asarray(img0[None]), jnp.asarray(img1[None])), axis=1)
-    ts = tuple(i / n for i in range(1, n))
+    ts = jnp.asarray([i / n for i in range(1, n)], jnp.float32)
 
-    run = _jitted_interpolate(model)
-    out = run(variables, xs, ts, None if ds_factor in (None, 1.0) else ds_factor)
+    run = _jitted_interpolate(model, None if ds_factor in (None, 1.0) else ds_factor)
+    out = run(variables, xs, ts)
     frames = [np.asarray(padder.unpad(f))[0] for f in out["imgt_pred"]]
     flows = [np.asarray(padder.unpad(f))[0] for f in out["flowt"]]
     return frames, flows
@@ -85,10 +131,13 @@ def main(argv=None):
     p.add_argument("--ds-factor", type=float, default=1.0)
     p.add_argument("--ckpt", required=True)
     p.add_argument("--fps", type=int, default=30)
+    p.add_argument(
+        "--model", default="gimmvfi_r", choices=["gimmvfi_r", "gimmvfi_f"]
+    )
     args = p.parse_args(argv)
 
     os.makedirs(args.output_path, exist_ok=True)
-    model, variables = load_model(args.ckpt)
+    model, variables = load_model(args.ckpt, args.model)
 
     img_list = sorted(os.listdir(args.source_path))
     images, flows_viz = [], []

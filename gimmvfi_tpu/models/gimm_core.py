@@ -11,6 +11,7 @@ from __future__ import annotations
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..nn.layers import Conv2d, leaky_relu
 from ..ops.interp import warp
@@ -19,13 +20,15 @@ from .synthesis import LateralBlock
 
 Array = jax.Array
 
-_GAUSS3 = jnp.array(
+# plain numpy: a module-level jnp array would initialize a JAX backend at
+# import time (breaking late platform selection, e.g. the multichip dryrun)
+_GAUSS3 = np.array(
     [
         [1.0 / 16.0, 1.0 / 8.0, 1.0 / 16.0],
         [1.0 / 8.0, 1.0 / 4.0, 1.0 / 8.0],
         [1.0 / 16.0, 1.0 / 8.0, 1.0 / 16.0],
     ],
-    dtype=jnp.float32,
+    dtype=np.float32,
 )
 
 
@@ -34,7 +37,7 @@ def gaussian_blur3x3(x: Array) -> Array:
     `g_filter` conv3d, `gimm.py:64-73,84-95`)."""
     c = x.shape[-1]
     xp = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (0, 0)], mode="reflect")
-    k = jnp.broadcast_to(_GAUSS3[:, :, None, None], (3, 3, 1, c))
+    k = jnp.broadcast_to(jnp.asarray(_GAUSS3)[:, :, None, None], (3, 3, 1, c))
     return jax.lax.conv_general_dilated(
         xp,
         k,

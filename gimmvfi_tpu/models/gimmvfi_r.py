@@ -59,10 +59,7 @@ class GIMMVFI_R(nn.Module):
     def setup(self):
         f_dims = (256, 128)
         skip = f_dims[1] // 2  # 64
-        self.flow_estimator = RAFT(iters=self.raft_iters)
-        self.amt_last_cproj = Conv2d(f_dims[0], 1, 1, 0, name="amt_last_cproj")
-        self.amt_second_last_cproj = Conv2d(f_dims[1], 1, 1, 0, name="amt_second_last_cproj")
-        self.amt_fproj = Conv2d(f_dims[0], 1, 1, 0, name="amt_fproj")
+        self._setup_flow_estimator(f_dims)
         self.amt_init_decoder = InitDecoder(f_dims[0], skip)
         self.amt_final_decoder = MultiFlowDecoder(f_dims[1], skip, self.num_flows)
         self.amt_update4_low = UpdateBlock(cdim=f_dims[0] // 2, scale_factor=2.0)
@@ -82,6 +79,17 @@ class GIMMVFI_R(nn.Module):
         )
         self.alpha_v = self.param("alpha_v", lambda k: jnp.ones((1,), jnp.float32))
         self.alpha_fe = self.param("alpha_fe", lambda k: jnp.ones((1,), jnp.float32))
+
+    def _setup_flow_estimator(self, f_dims):
+        """RAFT + the 1x1 feature projections GIMMVFI_R adds on top of it
+        (`gimmvfi_r.py:44-52`). GIMMVFI_F overrides this (FlowFormer emits
+        AMT-shaped features natively, `gimmvfi_f.py:37-44`)."""
+        self.flow_estimator = RAFT(iters=self.raft_iters)
+        self.amt_last_cproj = Conv2d(f_dims[0], 1, 1, 0, name="amt_last_cproj")
+        self.amt_second_last_cproj = Conv2d(
+            f_dims[1], 1, 1, 0, name="amt_second_last_cproj"
+        )
+        self.amt_fproj = Conv2d(f_dims[0], 1, 1, 0, name="amt_fproj")
 
     # ------------------------------------------------------------------ flow
     def cal_bidirection_flow(self, img0: Array, img1: Array, train: bool = False):
@@ -242,6 +250,87 @@ class GIMMVFI_R(nn.Module):
         }
 
     # ----------------------------------------------------------- entry points
+    def prepare(
+        self,
+        img_xs: Array,
+        ds_factor: Optional[float] = None,
+        train: bool = False,
+    ) -> dict[str, Any]:
+        """Everything t-independent, computed once per frame pair: flow
+        estimation, AMT features, bidir corr pyramid, motion latents and
+        splatting weights (`gimmvfi_r.py:126-156` + the t-invariant prefix of
+        `:158-211`). The result feeds any number of `decode_one` calls."""
+        full_img = None
+        if ds_factor is not None and ds_factor != 1:
+            full_img = img_xs
+            small0 = resize(img_xs[:, 0], ds_factor)
+            small1 = resize(img_xs[:, 1], ds_factor)
+            img_xs = jnp.stack([small0, small1], axis=1)
+
+        nflows, flows, scalers, features0, features1, corr_pyrs = (
+            self.cal_bidirection_flow(
+                255.0 * img_xs[:, 0], 255.0 * img_xs[:, 1], train=train
+            )
+        )
+        flow01 = jax.lax.stop_gradient(flows[:, 0])
+        flow10 = jax.lax.stop_gradient(flows[:, 1])
+        w1, w2 = splatting_weights(flow01, flow10, self.alpha_v, self.alpha_fe)
+        latent0 = self.cnn_encoder(nflows[:, 0])
+        latent1 = self.cnn_encoder(nflows[:, 1])
+        return {
+            "img_xs": img_xs,
+            "full_img": full_img,
+            "nflows": nflows,
+            "flows": flows,
+            "scalers": scalers,
+            "features0": features0,
+            "features1": features1,
+            "corr_pyrs": corr_pyrs,
+            "flow01": flow01,
+            "flow10": flow10,
+            "w1": w1,
+            "w2": w2,
+            "latent0": latent0,
+            "latent1": latent1,
+        }
+
+    def decode_one(self, prep: dict, tv: Array, train: bool = False) -> dict[str, Any]:
+        """One timestep: splat latents to t, HypoNet flow decode, AMT
+        synthesis (`gimmvfi_r.py:158-211,376-396`). tv: scalar timestep
+        (python float or traced 0-d array — safe inside `lax.scan`)."""
+        img_xs = prep["img_xs"]
+        n, _, h, w, _ = img_xs.shape
+        tv = jnp.asarray(tv, jnp.float32)
+        t = jnp.broadcast_to(tv.reshape(-1), (n,))
+        coord = sample_coords_3d(n, (h, w), tv, self.coord_range)
+
+        pixel_latent = splat_fuse_latents(
+            self.res_conv,
+            prep["latent0"],
+            prep["latent1"],
+            prep["flow01"],
+            prep["flow10"],
+            prep["w1"],
+            prep["w2"],
+            t,
+            self.fwarp_type,
+        )
+        ninr = self.hyponet(coord, pixel_latent)
+        flow_t = unnormalize_flow(ninr, prep["scalers"])[:, 0]
+        out = self.frame_synthesize(
+            img_xs,
+            flow_t,
+            prep["features0"],
+            prep["features1"],
+            prep["corr_pyrs"],
+            t.reshape(n, 1, 1, 1),
+            full_img=prep["full_img"],
+            train=train,
+        )
+        out["flowt"] = flow_t
+        out["ninrflow"] = ninr
+        return out
+
     def interpolate(
         self,
         img_xs: Array,
@@ -252,48 +341,23 @@ class GIMMVFI_R(nn.Module):
         """Interpolate at shared timesteps (`gimmvfi_r.py:324-407`, eval path).
 
         img_xs: (N, 2, H, W, 3) in [0, 1]; t_values: static python floats.
-        Returns dict with per-timestep lists.
+        Returns dict with per-timestep lists. For long timestep lists prefer
+        `interpolate_sequential` (bounded live memory via `lax.scan`).
         """
-        full_img = None
-        if ds_factor is not None and ds_factor != 1:
-            full_img = img_xs
-            small0 = resize(img_xs[:, 0], ds_factor)
-            small1 = resize(img_xs[:, 1], ds_factor)
-            img_xs = jnp.stack([small0, small1], axis=1)
-
-        n, _, h, w, _ = img_xs.shape
-        nflows, flows, scalers, features0, features1, corr_pyrs = (
-            self.cal_bidirection_flow(
-                255.0 * img_xs[:, 0], 255.0 * img_xs[:, 1], train=train
-            )
-        )
-
+        prep = self.prepare(img_xs, ds_factor, train=train)
         imgt_preds, flowts, inr_flows = [], [], []
         for tv in t_values:
-            t = jnp.full((n,), tv, jnp.float32)
-            coord = sample_coords_3d(n, (h, w), jnp.asarray([tv]), self.coord_range)
-            ninr = self.predict_flow(nflows, flows, t, coord)
-            flow_t = unnormalize_flow(ninr, scalers.reshape(n, 1, 1, 1, 1))[:, 0]
-            out = self.frame_synthesize(
-                img_xs,
-                flow_t,
-                features0,
-                features1,
-                corr_pyrs,
-                t.reshape(n, 1, 1, 1),
-                full_img=full_img,
-                train=train,
-            )
+            out = self.decode_one(prep, tv, train=train)
             imgt_preds.append(out["imgt_pred"])
-            flowts.append(flow_t)
-            inr_flows.append(ninr)
+            flowts.append(out["flowt"])
+            inr_flows.append(out["ninrflow"])
 
         return {
             "imgt_pred": imgt_preds,
             "flowt": flowts,
             "ninrflow": inr_flows,
-            "nflow": nflows,
-            "raft_flow": flows,
+            "nflow": prep["nflows"],
+            "raft_flow": prep["flows"],
         }
 
     def train_forward(
@@ -353,3 +417,34 @@ class GIMMVFI_R(nn.Module):
     def __call__(self, img_xs: Array, t_values: Sequence[float] = (0.5,)):
         """Default apply: midpoint interpolation (init-friendly)."""
         return self.interpolate(img_xs, t_values)
+
+
+def interpolate_sequential(
+    model,
+    variables,
+    img_xs: Array,
+    t_values: Array,
+    ds_factor: Optional[float] = None,
+) -> dict[str, Array]:
+    """Nx interpolation with bounded live memory.
+
+    Flow estimation runs once; the per-timestep INR decode + AMT synthesis run
+    under `lax.scan` so only ONE timestep's full-resolution activations are
+    live at a time (vs the reference's python loop over t,
+    `gimmvfi_r.py:376-396`, which on TPU would keep every unrolled timestep's
+    temps alive). Works for any model exposing `prepare` / `decode_one`
+    (GIMM-VFI-R and -F).
+
+    t_values: (T,) array of timesteps. Returns stacked
+    {imgt_pred: (T, N, H, W, 3), flowt: (T, N, h, w, 2)}.
+    """
+    prep = model.apply(variables, img_xs, ds_factor, method=model.prepare)
+
+    def body(carry, tv):
+        out = model.apply(variables, prep, tv, method=model.decode_one)
+        return carry, (out["imgt_pred"], out["flowt"])
+
+    _, (imgs, flows) = jax.lax.scan(
+        body, None, jnp.asarray(t_values, jnp.float32)
+    )
+    return {"imgt_pred": imgs, "flowt": flows}

@@ -4,6 +4,8 @@ from .optim import create_optimizer, warmup_cosine_schedule
 from .train_state import (
     TrainState,
     create_train_state,
+    make_gimm_eval_step,
     make_gimm_train_step,
+    make_gimmvfi_eval_step,
     make_gimmvfi_train_step,
 )

@@ -121,6 +121,68 @@ def make_gimmvfi_train_step(
     return train_step
 
 
+def make_gimmvfi_eval_step(model, rec_weight: float = 0.1):
+    """Validation step (`trainers/trainer.py:94-130` eval every test_freq;
+    `trainer_gimmvfi.py` valid mode): same losses without grad, BN running
+    stats. batch like the train step. Works for the raw params or the EMA
+    copy (pass ema["params"]/ema["batch_stats"])."""
+
+    def eval_step(params, batch_stats, batch):
+        img_xs = jnp.stack([batch["img0"], batch["img1"]], axis=1)
+        out = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            img_xs,
+            batch["t"],
+            batch["sub_idx0"],
+            batch["sub_idx1"],
+            method=model.train_forward,
+            train=False,
+        )
+        gt = batch["gt"]
+        pred = out["imgt_pred"]
+        nflow = out["nflow"]
+        n = nflow.shape[0]
+
+        def sub_target(time_idx, sub_idx):
+            flat = nflow[:, time_idx].reshape(n, -1, 2)
+            return jnp.take_along_axis(flat, sub_idx[..., None], axis=1)
+
+        inr0, inr1 = out["ninrflow"]
+        loss_rec = 0.5 * jnp.mean(
+            (inr0 - sub_target(0, batch["sub_idx0"])) ** 2
+        ) + 0.5 * jnp.mean((inr1 - sub_target(1, batch["sub_idx1"])) ** 2)
+        return {
+            "loss_total": losses.charbonnier_l1(pred, gt)
+            + losses.census_loss(pred, gt)
+            + losses.lap_loss(pred, gt)
+            + rec_weight * loss_rec,
+            "rec": loss_rec,
+            "psnr": losses.psnr(pred, gt),
+        }
+
+    return eval_step
+
+
+def make_gimm_eval_step(model):
+    """Stage-1 validation at t=0.5 (`trainer_gimm.py` eval path)."""
+
+    def eval_step(params, batch):
+        t = jnp.full((batch["xs"].shape[0],), 0.5, jnp.float32)
+        pred = model.apply(
+            {"params": params}, batch["xs"][:, [0, 2]], batch["ori_flows"], t
+        )
+        target = batch["xs"][:, 1:2]
+        n = pred.shape[0]
+        mse = ((pred - target) ** 2).reshape(n, -1).mean(axis=-1)
+        return {
+            "loss_total": mse.mean(),
+            "mse": mse.mean(),
+            "psnr": (-10 * jnp.log10(mse)).mean(),
+        }
+
+    return eval_step
+
+
 def make_gimm_train_step(model, tx, use_ema: bool = False):
     """Stage-1 step (`trainer_gimm.py:103-161`): MSE on normalized flow at a
     random t in {0, 0.5, 1}. batch: xs (N,3,H,W,2) [f0, f_mid, f1],

@@ -76,10 +76,22 @@ class _Tree:
         if bias:
             self._set(self.params, f"{fpath}/conv/bias", self.take(f"{tkey}.bias"))
 
-    def raw_conv(self, tkey: str, fpath: str):
+    def raw_conv(self, tkey: str, fpath: str, bias: bool = True):
         """nn.Conv directly at <fpath> (no Conv2d wrapper)."""
         w = self.take(f"{tkey}.weight").transpose(2, 3, 1, 0)
         self._set(self.params, f"{fpath}/kernel", w)
+        if bias:
+            self._set(self.params, f"{fpath}/bias", self.take(f"{tkey}.bias"))
+
+    def linear(self, tkey: str, fpath: str, bias: bool = True):
+        """torch nn.Linear (out, in) -> flax Dense kernel (in, out)."""
+        self._set(self.params, f"{fpath}/kernel", self.take(f"{tkey}.weight").T)
+        if bias:
+            self._set(self.params, f"{fpath}/bias", self.take(f"{tkey}.bias"))
+
+    def ln(self, tkey: str, fpath: str):
+        """torch nn.LayerNorm -> flax LayerNorm (scale/bias)."""
+        self._set(self.params, f"{fpath}/scale", self.take(f"{tkey}.weight"))
         self._set(self.params, f"{fpath}/bias", self.take(f"{tkey}.bias"))
 
     def prelu(self, tkey: str, fpath: str):
@@ -244,6 +256,184 @@ def convert_gimm(sd: Mapping[str, Any]) -> tuple[dict, dict]:
     t = _Tree(sd)
     _gimm_common(t)
     return t.params, t.stats
+
+
+# -------------------------------------------------------------- FlowFormer
+def _twins_svt(t: _Tree, tkey: str, fpath: str, depths=(2, 2)):
+    """timm/vendored twins_svt_large truncated to 2 stages
+    (`encoders.py:7-21`, param layout `LatentCostFormer/twins.py:1151-1240`)."""
+    for i in range(len(depths)):
+        t.raw_conv(f"{tkey}.patch_embeds.{i}.proj", f"{fpath}/patch_embeds_{i}/proj")
+        t.ln(f"{tkey}.patch_embeds.{i}.norm", f"{fpath}/patch_embeds_{i}/norm")
+        for j in range(depths[i]):
+            b_t = f"{tkey}.blocks.{i}.{j}"
+            b_f = f"{fpath}/blocks_{i}_{j}"
+            t.ln(f"{b_t}.norm1", f"{b_f}/norm1")
+            t.ln(f"{b_t}.norm2", f"{b_f}/norm2")
+            if j % 2 == 0:  # LSA (`twins.py:1213`: even blocks get ws=7)
+                t.linear(f"{b_t}.attn.qkv", f"{b_f}/attn/qkv")
+            else:  # GSA with sr conv
+                t.linear(f"{b_t}.attn.q", f"{b_f}/attn/q")
+                t.linear(f"{b_t}.attn.kv", f"{b_f}/attn/kv")
+                t.raw_conv(f"{b_t}.attn.sr", f"{b_f}/attn/sr")
+                t.ln(f"{b_t}.attn.norm", f"{b_f}/attn/norm")
+            t.linear(f"{b_t}.attn.proj", f"{b_f}/attn/proj")
+            t.linear(f"{b_t}.mlp.fc1", f"{b_f}/mlp/fc1")
+            t.linear(f"{b_t}.mlp.fc2", f"{b_f}/mlp/fc2")
+        t.raw_conv(f"{tkey}.pos_block.{i}.proj.0", f"{fpath}/pos_block_{i}/proj_0")
+    # final stage norm survives truncation but is unused (`encoders.py:19-20`)
+    for suffix in ("norm.weight", "norm.bias"):
+        if f"{tkey}.{suffix}" in t.sd:
+            t.used.add(f"{tkey}.{suffix}")
+
+
+def _attn_ffn(t: _Tree, tkey: str, fpath: str):
+    """q/k/v/proj + norms + ffn of the perceiver attention layers
+    (`encoder.py:214-346`)."""
+    t.ln(f"{tkey}.norm1", f"{fpath}/norm1")
+    t.ln(f"{tkey}.norm2", f"{fpath}/norm2")
+    for name in ("q", "k", "v", "proj"):
+        t.linear(f"{tkey}.{name}", f"{fpath}/{name}")
+    t.linear(f"{tkey}.ffn.0", f"{fpath}/ffn/fc0")
+    t.linear(f"{tkey}.ffn.3", f"{fpath}/ffn/fc3")
+
+
+def _vertical_block(t: _Tree, tkey: str, fpath: str, is_global: bool):
+    """Twins Block with RPE+context attention (`twins.py:331-546`)."""
+    t.ln(f"{tkey}.norm1", f"{fpath}/norm1")
+    t.ln(f"{tkey}.norm2", f"{fpath}/norm2")
+    for name in ("context_proj", "q", "k", "v", "proj"):
+        t.linear(f"{tkey}.attn.{name}", f"{fpath}/attn/{name}")
+    if is_global:
+        t.raw_conv(f"{tkey}.attn.sr_key", f"{fpath}/attn/sr_key")
+        t.raw_conv(f"{tkey}.attn.sr_value", f"{fpath}/attn/sr_value")
+        t.ln(f"{tkey}.attn.norm", f"{fpath}/attn/norm")
+    t.linear(f"{tkey}.mlp.fc1", f"{fpath}/mlp_fc1")
+    t.linear(f"{tkey}.mlp.fc2", f"{fpath}/mlp_fc2")
+
+
+def _cost_perceiver(t: _Tree, tkey: str, fpath: str, depth: int = 3):
+    pe_t, pe_f = f"{tkey}.patch_embed", f"{fpath}/patch_embed"
+    for i in (0, 2, 4):
+        t.raw_conv(f"{pe_t}.proj.{i}", f"{pe_f}/proj_{i}")
+    for i in (0, 2):
+        t.raw_conv(f"{pe_t}.ffn_with_coord.{i}", f"{pe_f}/ffn_{i}")
+    t.ln(f"{pe_t}.norm", f"{pe_f}/norm")
+
+    t.param(f"{tkey}.latent_tokens", f"{fpath}/latent_tokens")
+    _attn_ffn(t, f"{tkey}.input_layer", f"{fpath}/input_layer")
+    for i in range(depth):
+        _attn_ffn(t, f"{tkey}.encoder_layers.{i}", f"{fpath}/encoder_layers_{i}")
+        v_t = f"{tkey}.vertical_encoder_layers.{i}"
+        v_f = f"{fpath}/vertical_encoder_layers_{i}"
+        _vertical_block(t, f"{v_t}.local_block", f"{v_f}/local_block", False)
+        _vertical_block(t, f"{v_t}.global_block", f"{v_f}/global_block", True)
+
+
+def _memory_decoder(t: _Tree, tkey: str, fpath: str):
+    t.conv(f"{tkey}.proj", f"{fpath}/proj")
+    t.raw_conv(f"{tkey}.att.to_qk", f"{fpath}/att/to_qk", bias=False)
+    # frozen randomly-initialized RelPosEmb is unused in the forward
+    # (`gma.py:62-71` commented out); skip but mark consumed
+    for name in ("rel_height", "rel_width"):
+        if f"{tkey}.att.pos_emb.{name}.weight" in t.sd:
+            t.used.add(f"{tkey}.att.pos_emb.{name}.weight")
+
+    cross_t = f"{tkey}.decoder_layer.cross_attend"
+    # loop-invariant k/v live on the decoder itself (computed pre-scan)
+    t.linear(f"{cross_t}.k", f"{fpath}/cross_k")
+    t.linear(f"{cross_t}.v", f"{fpath}/cross_v")
+    step = f"{fpath}/step"
+    t.ln(f"{cross_t}.norm1", f"{step}/cross/norm1")
+    t.ln(f"{cross_t}.norm2", f"{step}/cross/norm2")
+    t.linear(f"{cross_t}.q", f"{step}/cross/q")
+    t.linear(f"{cross_t}.proj", f"{step}/cross/proj")
+    t.linear(f"{cross_t}.ffn.0", f"{step}/cross/ffn/fc0")
+    t.linear(f"{cross_t}.ffn.3", f"{step}/cross/ffn/fc3")
+
+    t.conv(f"{tkey}.flow_token_encoder.0", f"{step}/flow_token_encoder_0")
+    t.conv(f"{tkey}.flow_token_encoder.2", f"{step}/flow_token_encoder_2")
+
+    ub_t, ub_f = f"{tkey}.update_block", f"{step}/update_block"
+    for name in ("convc1", "convc2", "convf1", "convf2", "conv"):
+        t.conv(f"{ub_t}.encoder.{name}", f"{ub_f}/encoder/{name}")
+    for name in ("convz1", "convr1", "convq1", "convz2", "convr2", "convq2"):
+        t.conv(f"{ub_t}.gru.{name}", f"{ub_f}/gru/{name}")
+    t.conv(f"{ub_t}.flow_head.conv1", f"{ub_f}/flow_head_conv1")
+    t.conv(f"{ub_t}.flow_head.conv2", f"{ub_f}/flow_head_conv2")
+    t.conv(f"{ub_t}.mask.0", f"{ub_f}/mask_0")
+    t.conv(f"{ub_t}.mask.2", f"{ub_f}/mask_2")
+    t.raw_conv(f"{ub_t}.aggregator.to_v", f"{ub_f}/aggregator/to_v", bias=False)
+    t.param(f"{ub_t}.aggregator.gamma", f"{ub_f}/aggregator/gamma")
+
+
+def _flowformer(t: _Tree, tprefix: str, fprefix: str):
+    _twins_svt(t, f"{tprefix}context_encoder.svt", f"{fprefix}/context_encoder")
+    me_t, me_f = f"{tprefix}memory_encoder", f"{fprefix}/memory_encoder"
+    _twins_svt(t, f"{me_t}.feat_encoder.svt", f"{me_f}/feat_encoder")
+    t.raw_conv(f"{me_t}.channel_convertor", f"{me_f}/channel_convertor", bias=False)
+    _cost_perceiver(t, f"{me_t}.cost_perceiver_encoder", f"{me_f}/cost_perceiver_encoder")
+    _memory_decoder(t, f"{tprefix}memory_decoder", f"{fprefix}/memory_decoder")
+
+
+def convert_flowformer(sd: Mapping[str, Any]) -> tuple[dict, dict]:
+    """flowformer_sintel.pth state dict -> FlowFormer module tree."""
+    t = _Tree(sd)
+    _flowformer(t, "", "")
+    params = t.params.pop("", t.params)
+    stats = t.stats.pop("", t.stats)
+    return params, stats
+
+
+def convert_gimmvfi_f(sd: Mapping[str, Any]) -> tuple[dict, dict]:
+    """gimmvfi_f_arb[_lpips].pt state dict -> GIMMVFI_F module tree
+    (`gimmvfi_f.py:28-138`: no cproj/fproj — otherwise the R layout)."""
+    t = _Tree(sd)
+    _flowformer(t, "flow_estimator.", "flow_estimator")
+
+    _upsample_head(t, "amt_init_decoder.upsample", "amt_init_decoder/upsample", 1)
+    _decoder_convblock(t, "amt_init_decoder.convblock", "amt_init_decoder")
+    _upsample_head(t, "amt_final_decoder.upsample", "amt_final_decoder/upsample", 2)
+    _decoder_convblock(t, "amt_final_decoder.convblock", "amt_final_decoder")
+    _update_block(t, "amt_update4_low", "amt_update4_low")
+    _update_block(t, "amt_update4_high", "amt_update4_high")
+
+    t.conv("amt_comb_block.0", "amt_comb_block/conv_0")
+    t.prelu("amt_comb_block.1", "amt_comb_block/prelu")
+    t.conv("amt_comb_block.2", "amt_comb_block/conv_2")
+
+    _gimm_common(t)
+    return t.params, t.stats
+
+
+# ------------------------------------------------------------------- LPIPS
+def convert_lpips(sd: Mapping[str, Any]) -> tuple[dict, dict]:
+    """Reference LPIPS state dict -> train/lpips.LPIPS module tree.
+
+    Accepts the full vendored-LPIPS layout (`lpips.py:39-123`): alexnet
+    slices `net.sliceN.i.*` + linear heads `linK.model.1.weight` (the
+    reference ships the heads as `alex.pth`; the alexnet backbone comes from
+    a torchvision state dict merged under the same keys)."""
+    t = _Tree(sd)
+    for slice_idx, conv_idx in ((1, 0), (2, 3), (3, 6), (4, 8), (5, 10)):
+        t.conv(f"net.slice{slice_idx}.{conv_idx}", f"net/conv{conv_idx}")
+    for k in range(5):
+        w = t.take(f"lin{k}.model.1.weight").transpose(2, 3, 1, 0)
+        t._set(t.params, f"lin{k}/kernel", w)
+    # ScalingLayer buffers are baked constants (`lpips.py:192-203`)
+    for name in ("scaling_layer.shift", "scaling_layer.scale"):
+        if name in t.sd:
+            t.used.add(name)
+    return t.params, t.stats
+
+
+def convert_alexnet_features(sd: Mapping[str, Any]) -> dict:
+    """torchvision `alexnet` state dict (`features.N.*`) -> AlexNetFeatures
+    params (for assembling LPIPS from the two released artifacts)."""
+    t = _Tree(sd)
+    for conv_idx in (0, 3, 6, 8, 10):
+        t.conv(f"features.{conv_idx}", f"conv{conv_idx}")
+    return t.params
 
 
 def unused_keys(sd: Mapping[str, Any], tree: _Tree) -> list[str]:

@@ -106,9 +106,78 @@ def install_stubs():
     helpers = _mod("timm.models.helpers")
     helpers.build_model_with_cfg = lambda *a, **kw: None
     helpers.overlay_external_default_cfg = lambda *a, **kw: None
-    timm.create_model = lambda *a, **kw: None
+
+    def create_model(name, pretrained=False, **kw):
+        # Build the reference's own vendored Twins (param-layout identical to
+        # timm twins_svt_large) with random weights — no downloads available.
+        assert name == "twins_svt_large", name
+        from functools import partial
+
+        import src.models.generalizable_INR.flowformer.core.FlowFormer.LatentCostFormer.twins as vt  # noqa: E501
+        from src.models.generalizable_INR.flowformer.core.FlowFormer.LatentCostFormer.twins import (  # noqa: E501
+            Twins,
+        )
+
+        # The vendored Block passes `context` positionally, but the vendored
+        # *plain* attention classes (the timm-equivalent ones the Twins class
+        # instantiates) don't take it — the real reference runs timm's Twins.
+        # Shim the signature; numerics are untouched.
+        if not getattr(vt, "_ctx_shimmed", False):
+            for cls in (vt.LocallyGroupedAttn, vt.GlobalSubSampleAttn):
+                orig = cls.forward
+                cls.forward = (
+                    lambda self, x, size, context=None, _orig=orig: _orig(
+                        self, x, size
+                    )
+                )
+            vt._ctx_shimmed = True
+
+        return Twins(
+            patch_size=4,
+            embed_dims=[128, 256, 512, 1024],
+            num_heads=[4, 8, 16, 32],
+            mlp_ratios=[4, 4, 4, 4],
+            depths=[2, 2, 18, 2],
+            wss=[7, 7, 7, 7],
+            sr_ratios=[8, 4, 2, 1],
+            norm_layer=partial(nn.LayerNorm, eps=1e-6),
+        )
+
+    timm.create_model = create_model
     timm.data = timm_data
     timm.models = timm_models
+
+    # ---- loguru (flowformer modules import it unused)
+    loguru = _mod("loguru")
+    loguru.logger = types.SimpleNamespace(
+        info=lambda *a, **k: None, warning=lambda *a, **k: None
+    )
+
+    # ---- torchvision (LPIPS backbone; absent from this image). Only the
+    # `.features` structure matters — weights are random for goldens.
+    tv = _mod("torchvision")
+    tv_models = _mod("torchvision.models")
+
+    def tv_alexnet(pretrained=False, **kw):
+        features = nn.Sequential(
+            nn.Conv2d(3, 64, kernel_size=11, stride=4, padding=2),
+            nn.ReLU(inplace=True),
+            nn.MaxPool2d(kernel_size=3, stride=2),
+            nn.Conv2d(64, 192, kernel_size=5, padding=2),
+            nn.ReLU(inplace=True),
+            nn.MaxPool2d(kernel_size=3, stride=2),
+            nn.Conv2d(192, 384, kernel_size=3, padding=1),
+            nn.ReLU(inplace=True),
+            nn.Conv2d(384, 256, kernel_size=3, padding=1),
+            nn.ReLU(inplace=True),
+            nn.Conv2d(256, 256, kernel_size=3, padding=1),
+            nn.ReLU(inplace=True),
+            nn.MaxPool2d(kernel_size=3, stride=2),
+        )
+        return types.SimpleNamespace(features=features)
+
+    tv_models.alexnet = tv_alexnet
+    tv.models = tv_models
 
     # ---- yacs
     yacs = _mod("yacs")
@@ -126,6 +195,11 @@ def install_stubs():
 
         def __setattr__(self, k, v):
             self[k] = v
+
+        def clone(self):
+            import copy
+
+            return copy.deepcopy(self)
 
     yacs_config.CfgNode = CfgNode
     yacs.config = yacs_config
