@@ -65,7 +65,7 @@ def run_snu_film_arb(args):
     """Splits medium/hard/extreme -> 4/8/16-step arbitrary-t interpolation;
     one forward emits all t_i=(i+1)/T (`SNU_FILM_arb.py:78-170`).
     Reports PSNR + LPIPS (when --lpips-path given)."""
-    model, variables = load_model(args.ckpt, args.model)
+    model, variables = load_model(args.ckpt, args.model, args.flow_iters)
     run = _interp_fn(model, variables)
     lp = _lpips_fn(args.lpips_path)
 
@@ -132,7 +132,7 @@ def run_x4k(args):
     (`X4K.py:90-197`). PSNR + LPIPS; --save-preds writes predictions."""
     import cv2
 
-    model, variables = load_model(args.ckpt, args.model)
+    model, variables = load_model(args.ckpt, args.model, args.flow_iters)
     run = _interp_fn(model, variables)
     lp = _lpips_fn(args.lpips_path)
     ds = 0.5 if args.split == "2k" else 0.25
@@ -187,7 +187,7 @@ def run_vtf(args):
 
     psnrs, epes = [], []
     for seq in seqs:
-        d = os.path.join(args.data_root, "flows", seq)
+        d = os.path.join(args.data_root, "flow_sequences", seq)
         if not os.path.isdir(d):
             continue
         f01 = read_flo(os.path.join(d, "im1_im3.flo"))
@@ -274,6 +274,7 @@ def main(argv=None):
         sp.add_argument(
             "--model", default="gimmvfi_r", choices=["gimmvfi_r", "gimmvfi_f"]
         )
+        sp.add_argument("--flow-iters", type=int, default=None)
         if name == "x4k":
             sp.add_argument("--split", choices=("2k", "4k"), default="2k")
             sp.add_argument("--save-preds", default=None)

@@ -53,6 +53,18 @@ def setup_run_dir(result_path: str, cfg, resume: bool = False) -> str:
         run_dir = os.path.join(result_path, time.strftime("%d%m%Y_%H%M%S"))
         os.makedirs(run_dir, exist_ok=True)
         save_config(cfg, os.path.join(run_dir, "config.yaml"))
+        # snapshot the source tree for reproducibility (`utils/setup.py:94-98`)
+        import shutil
+
+        src = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        try:
+            shutil.copytree(
+                src,
+                os.path.join(run_dir, "src_snapshot", "gimmvfi_tpu"),
+                ignore=shutil.ignore_patterns("__pycache__"),
+            )
+        except OSError:
+            pass
     logging.basicConfig(
         level=logging.INFO,
         handlers=[
@@ -90,12 +102,29 @@ def main(argv=None):
     p.add_argument("--overrides", nargs="*", default=[])
     p.add_argument("--smoke-test", action="store_true")
     p.add_argument(
+        "--eval",
+        action="store_true",
+        help="eval-only: validate the loaded weights (use with --load-path "
+        "or --resume) and exit — the reference's `main.py -e` mode",
+    )
+    p.add_argument(
+        "--distributed",
+        action="store_true",
+        help="multi-host: jax.distributed.initialize() before touching devices "
+        "(single-host data parallelism needs no flag — the mesh spans all "
+        "local devices)",
+    )
+    p.add_argument(
         "--lpips-path",
         default=None,
         help="LPIPS weights (.pt with lpips layout) to enable the perceptual "
         "loss from the -P recipes",
     )
     args = p.parse_args(argv)
+
+    if args.distributed:
+        # DCN rendezvous; the reference's NCCL env:// init (`dist.py:31-46`)
+        jax.distributed.initialize()
 
     config_path = args.config
     if args.resume:
@@ -108,20 +137,38 @@ def main(argv=None):
     seed = cfg.experiment.seed
     np_rng = np.random.default_rng(seed)
 
+    from ..utils.writer import Writer, reconstruction_grid
+
+    writer = Writer(run_dir)
+
     mesh = create_mesh()
     n_dev = mesh.devices.size
     local_batch = cfg.experiment.batch_size
     global_batch = local_batch * n_dev
-    logger.info("mesh: %s devices, global batch %d", n_dev, global_batch)
-
-    trn, val = create_dataset(
-        cfg.dataset.type, cfg.dataset.path, aug=getattr(cfg.dataset, "aug", True)
+    # each host loads its share of the global batch
+    host_batch = global_batch // jax.process_count()
+    logger.info(
+        "mesh: %d devices / %d hosts, global batch %d",
+        n_dev, jax.process_count(), global_batch,
     )
+
+    ds_kw = {"aug": getattr(cfg.dataset, "aug", True)}
+    if getattr(cfg.dataset, "crop_size", None):
+        ds_kw["crop_size"] = tuple(cfg.dataset.crop_size)
+    trn, val = create_dataset(cfg.dataset.type, cfg.dataset.path, **ds_kw)
     if args.smoke_test:
         trn.meta_data = trn.meta_data[: 2 * global_batch]
         val.meta_data = val.meta_data[: 2 * global_batch]
-    loader = DataLoader(trn, global_batch, seed=seed)
-    val_loader = DataLoader(val, global_batch, seed=seed, shuffle=False)
+    # per-host input sharding: each host loads only its slice of the global
+    # batch (the DistributedSampler equivalent, `trainer.py:49-55`)
+    loader = DataLoader(
+        trn, host_batch, seed=seed,
+        shard_id=jax.process_index(), num_shards=jax.process_count(),
+    )
+    val_loader = DataLoader(
+        val, host_batch, seed=seed, shuffle=False,
+        shard_id=jax.process_index(), num_shards=jax.process_count(),
+    )
 
     arch = cfg.arch.type.lower()
     is_stage2 = arch.startswith("gimmvfi")
@@ -146,13 +193,19 @@ def main(argv=None):
     if args.load_path:
         from ..utils.convert import (
             convert_gimm,
+            convert_gimmvfi_f,
             convert_gimmvfi_r,
             load_torch_state_dict,
         )
 
         if args.load_path.endswith((".pt", ".pth")):
             sd = load_torch_state_dict(args.load_path)
-            conv = convert_gimmvfi_r if is_stage2 and "flow_estimator.fnet.conv1.weight" in sd else convert_gimm
+            if "flow_estimator.fnet.conv1.weight" in sd:
+                conv = convert_gimmvfi_r
+            elif "flow_estimator.memory_decoder.proj.weight" in sd:
+                conv = convert_gimmvfi_f
+            else:
+                conv = convert_gimm
             lp, ls = conv(sd)
             variables["params"] = merge_partial(variables["params"], lp)
             variables["batch_stats"] = merge_partial(variables["batch_stats"], ls)
@@ -163,15 +216,28 @@ def main(argv=None):
             )
         logger.info("partially loaded weights from %s", args.load_path)
 
+    # total_batch_size -> grad-accum derivation (`src/utils/config.py:92-105`);
+    # the reference only uses it to scale scheduler steps — the train loop
+    # steps every iteration — replicated here exactly.
+    total_bs = cfg.experiment.total_batch_size or global_batch
+    if total_bs % global_batch != 0:
+        raise ValueError(
+            f"total_batch_size {total_bs} not divisible by batch_size x "
+            f"devices = {global_batch}"
+        )
+    grad_accm_steps = max(1, total_bs // global_batch)
+    if grad_accm_steps > 1:
+        logger.info("grad_accm_steps=%d (scheduler steps scaled)", grad_accm_steps)
+
     steps_per_epoch = len(loader)
-    total_steps = steps_per_epoch * cfg.experiment.epochs
+    total_steps = steps_per_epoch * cfg.experiment.epochs // grad_accm_steps
     w = cfg.optimizer.warmup
     schedule = warmup_cosine_schedule(
         cfg.optimizer.init_lr,
         w.min_lr,
         total_steps,
-        warmup_steps=w.epoch * steps_per_epoch,
-        buffer_steps=w.buffer_epoch * steps_per_epoch,
+        warmup_steps=w.epoch * steps_per_epoch // grad_accm_steps,
+        buffer_steps=w.buffer_epoch * steps_per_epoch // grad_accm_steps,
         multiplier=w.multiplier,
         mode=w.mode,
         world_size=n_dev,
@@ -215,6 +281,19 @@ def main(argv=None):
             use_ema=use_ema,
         )
         eval_fn = jax.jit(make_gimmvfi_eval_step(model, cfg.arch.rec_weight))
+
+        def _viz(p, s, b):
+            return model.apply(
+                {"params": p, "batch_stats": s},
+                jnp.stack([b["img0"], b["img1"]], axis=1),
+                b["t"],
+                b["sub_idx0"],
+                b["sub_idx1"],
+                method=model.train_forward,
+                train=False,
+            )
+
+        viz_fn = jax.jit(_viz)
     else:
         step_fn = make_gimm_train_step(model, tx, use_ema=use_ema)
         eval_fn = jax.jit(make_gimm_eval_step(model))
@@ -225,6 +304,46 @@ def main(argv=None):
         state, last = restore_checkpoint(os.path.join(run_dir, "ckpt"), state)
         epoch_st = last // steps_per_epoch
         logger.info("resumed from step %d (epoch %d)", last, epoch_st)
+
+    def run_validation(state, epoch):
+        """Model + EMA validation pass (`trainers/trainer.py:94-130`)."""
+        eval_sets = [("valid", state.params, state.batch_stats)]
+        if use_ema and state.ema is not None:
+            eval_sets.append(
+                ("valid_ema", state.ema["params"], state.ema["batch_stats"])
+            )
+        for tag, ev_params, ev_stats in eval_sets:
+            vaccm = MetricAccumulator(
+                ("loss_total", "rec", "psnr")
+                if is_stage2
+                else ("loss_total", "mse", "psnr")
+            )
+            for batch in val_loader:
+                if is_stage2:
+                    nb = batch["img0"].shape[0]
+                    hw = batch["img0"].shape[1] * batch["img0"].shape[2]
+                    batch["sub_idx0"] = _subsample_indices(
+                        np_rng, nb, hw, cfg.loss.subsample.ratio
+                    )
+                    batch["sub_idx1"] = _subsample_indices(
+                        np_rng, nb, hw, cfg.loss.subsample.ratio
+                    )
+                    batch = shard_batch(mesh, batch)
+                    m = eval_fn(ev_params, ev_stats, batch)
+                else:
+                    batch = shard_batch(mesh, batch)
+                    m = eval_fn(ev_params, batch)
+                vaccm.update(jax.device_get(m))
+            logger.info("epoch %d [%s]: %s", epoch, tag, vaccm.print_line())
+            writer.add_scalars(vaccm.summary(), tag, epoch)
+
+    if args.eval:
+        # eval-only mode (`main.py -e`): validate the loaded weights and exit
+        with mesh:
+            state = replicate(mesh, state)
+            run_validation(state, epoch_st)
+        writer.close()
+        return
 
     with mesh:
         state = replicate(mesh, state)
@@ -238,56 +357,53 @@ def main(argv=None):
             accm = MetricAccumulator(metric_names)
             t0 = time.time()
             for it, batch in enumerate(loader):
+                nb = batch["img0" if is_stage2 else "xs"].shape[0]
                 if is_stage2:
                     hw = batch["img0"].shape[1] * batch["img0"].shape[2]
                     batch["sub_idx0"] = _subsample_indices(
-                        np_rng, global_batch, hw, cfg.loss.subsample.ratio
+                        np_rng, nb, hw, cfg.loss.subsample.ratio
                     )
                     batch["sub_idx1"] = _subsample_indices(
-                        np_rng, global_batch, hw, cfg.loss.subsample.ratio
+                        np_rng, nb, hw, cfg.loss.subsample.ratio
                     )
                 else:
-                    batch["t_id"] = np_rng.integers(
-                        0, 3, size=(global_batch,)
-                    ).astype(np.int32)
+                    batch["t_id"] = np_rng.integers(0, 3, size=(nb,)).astype(
+                        np.int32
+                    )
                 batch = shard_batch(mesh, batch)
                 state, metrics = step_fn(state, batch)
                 accm.update(jax.device_get(metrics))
             logger.info(
                 "epoch %d: %s (%.1fs)", epoch, accm.print_line(), time.time() - t0
             )
+            writer.add_scalars(accm.summary(), "train", epoch)
 
             # validation + EMA validation every test_freq epochs
             # (reference `trainers/trainer.py:94-130`)
             last_epoch = epoch == cfg.experiment.epochs - 1
             if (epoch + 1) % cfg.experiment.test_freq == 0 or last_epoch:
-                eval_sets = [("valid", state.params, state.batch_stats)]
-                if use_ema and state.ema is not None:
-                    eval_sets.append(
-                        ("valid_ema", state.ema["params"], state.ema["batch_stats"])
-                    )
-                for tag, ev_params, ev_stats in eval_sets:
-                    vaccm = MetricAccumulator(
-                        ("loss_total", "rec", "psnr")
-                        if is_stage2
-                        else ("loss_total", "mse", "psnr")
-                    )
-                    for batch in val_loader:
-                        if is_stage2:
-                            hw = batch["img0"].shape[1] * batch["img0"].shape[2]
-                            batch["sub_idx0"] = _subsample_indices(
-                                np_rng, global_batch, hw, cfg.loss.subsample.ratio
-                            )
-                            batch["sub_idx1"] = _subsample_indices(
-                                np_rng, global_batch, hw, cfg.loss.subsample.ratio
-                            )
-                            batch = shard_batch(mesh, batch)
-                            m = eval_fn(ev_params, ev_stats, batch)
-                        else:
-                            batch = shard_batch(mesh, batch)
-                            m = eval_fn(ev_params, batch)
-                        vaccm.update(jax.device_get(m))
-                    logger.info("epoch %d [%s]: %s", epoch, tag, vaccm.print_line())
+                run_validation(state, epoch)
+
+            # reconstruction grid every test_imlog_freq epochs
+            # (`trainer_gimmvfi.py:384-421`)
+            if is_stage2 and (epoch + 1) % cfg.experiment.test_imlog_freq == 0:
+                batch = next(iter(val_loader))
+                nb = batch["img0"].shape[0]
+                hw = batch["img0"].shape[1] * batch["img0"].shape[2]
+                batch["sub_idx0"] = _subsample_indices(
+                    np_rng, nb, hw, cfg.loss.subsample.ratio
+                )
+                batch["sub_idx1"] = _subsample_indices(
+                    np_rng, nb, hw, cfg.loss.subsample.ratio
+                )
+                sharded = shard_batch(mesh, batch)
+                out = viz_fn(state.params, state.batch_stats, sharded)
+                out = jax.device_get(out)
+                grid = reconstruction_grid(
+                    batch["img0"], out["imgt_pred"], batch["gt"], batch["img1"],
+                    out["flowt"] * -0.5, out["flowt"] * 0.5,
+                )
+                writer.add_image("reconstruction", grid, "valid", epoch)
 
             if (epoch + 1) % cfg.experiment.save_ckpt_freq == 0 or last_epoch:
                 save_checkpoint(
@@ -295,6 +411,7 @@ def main(argv=None):
                     int(jax.device_get(state.step)),
                     jax.device_get(state),
                 )
+    writer.close()
     logger.info("training done: %s", run_dir)
 
 

@@ -110,9 +110,12 @@ def _jitted_interpolate(model, ds):
     )
 
 
-def interpolate_pair(model, variables, img0, img1, n, ds_factor):
-    """One padded forward emitting N-1 timesteps (`video_Nx.py:163-181`)."""
-    padder = InputPadder(img0.shape, divisor=32)
+def interpolate_pair(model, variables, img0, img1, n, ds_factor, bucket=None):
+    """One padded forward emitting N-1 timesteps (`video_Nx.py:163-181`).
+
+    bucket: optional shape bucket (multiple of 32) — one compile per bucket
+    when frame sizes vary."""
+    padder = InputPadder(img0.shape, divisor=32, bucket=bucket)
     xs = jnp.stack(padder.pad(jnp.asarray(img0[None]), jnp.asarray(img1[None])), axis=1)
     ts = jnp.asarray([i / n for i in range(1, n)], jnp.float32)
 
@@ -134,6 +137,13 @@ def main(argv=None):
     p.add_argument(
         "--model", default="gimmvfi_r", choices=["gimmvfi_r", "gimmvfi_f"]
     )
+    p.add_argument(
+        "--bucket",
+        type=int,
+        default=None,
+        help="pad to multiples of this (>=32): one XLA compile per bucket "
+        "when frame sizes vary",
+    )
     args = p.parse_args(argv)
 
     os.makedirs(args.output_path, exist_ok=True)
@@ -149,7 +159,7 @@ def main(argv=None):
         i0 = read_image(os.path.join(args.source_path, img_list[j]))
         i1 = read_image(os.path.join(args.source_path, img_list[j + 1]))
         frames, flows = interpolate_pair(
-            model, variables, i0, i1, args.N, args.ds_factor
+            model, variables, i0, i1, args.N, args.ds_factor, bucket=args.bucket
         )
         hold = (i1 * 255).astype(np.uint8)
         for f, fl in zip(frames, flows):

@@ -23,7 +23,7 @@ class VimeoFlowTriplets:
     crop: int = 256
 
     def __post_init__(self):
-        self.flow_root = os.path.join(self.path, "flows")
+        self.flow_root = os.path.join(self.path, "flow_sequences")
         listing = os.path.join(
             self.path, "tri_trainlist.txt" if self.split != "test" else "tri_testlist.txt"
         )

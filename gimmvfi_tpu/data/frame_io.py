@@ -68,6 +68,16 @@ def read_kitti_png_flow(path: str) -> tuple[np.ndarray, np.ndarray]:
     return (flow - 2**15) / 64.0, valid
 
 
+def write_kitti_png_flow(path: str, flow: np.ndarray):
+    """(H,W,2) flow -> KITTI 16-bit png (`frame_utils.py:131-135`)."""
+    import cv2
+
+    uv = 64.0 * flow + 2**15
+    valid = np.ones((*flow.shape[:2], 1), np.float32)
+    out = np.concatenate([uv, valid], axis=-1).astype(np.uint16)
+    cv2.imwrite(path, out[..., ::-1])
+
+
 def read_image(path: str) -> np.ndarray:
     """PNG/JPEG -> (H, W, 3) float32 in [0, 1]."""
     from PIL import Image

@@ -358,12 +358,13 @@ class CostPerceiverEncoder(nn.Module):
         x = PerceiverInputLayer(self.latent_dim, name="input_layer")(q, tokens)
         short_cut = x
 
-        # Context replicated per latent token. torch tiles batch-blocks
-        # (`context.repeat(K, 1, 1, 1)`, twins.py:367): ctx[i] = context[i % B]
-        # while the token batch is b-major — replicated verbatim (the two
-        # orderings only coincide at B == 1, and we keep the reference's
-        # exact semantics for checkpoint parity).
-        ctx = jnp.tile(context, (k_tok, 1, 1, 1))  # (K*B, H1, W1, 256)
+        # Context replicated per latent token, batch-major: vertical-token
+        # row j gets context[j // K]. (The torch `context.repeat(K,...)`
+        # tiling, twins.py:367, indexes context[j % B] instead — identical at
+        # B == 1, i.e. every reference inference path, but it cross-wires
+        # samples for B > 1; we use the correct indexing, which also makes
+        # the batched bidirectional flow pass exact.)
+        ctx = jnp.repeat(context, k_tok, axis=0)  # (B*K, H1, W1, 256)
 
         for idx in range(self.depth):
             x = LatentSelfAttentionLayer(
@@ -385,17 +386,21 @@ class CostPerceiverEncoder(nn.Module):
 # ----------------------------------------------------------- memory encoder
 class MemoryEncoder(nn.Module):
     """`encoder.py:469-539`: twins features -> all-pairs cost volume ->
-    cost perceiver. cost_heads_num=1 (config)."""
+    cost perceiver. cost_heads_num=1 (config).
+
+    bidir=True processes BOTH flow directions in one batched pass: the
+    reverse cost volume is the transpose of the forward one (one matmul
+    instead of two; exact — FlowFormer has no batch-coupled ops)."""
 
     @nn.compact
-    def __call__(self, img1: Array, img2: Array, context: Array):
+    def __call__(self, img1: Array, img2: Array, context: Array,
+                 bidir: bool = False):
         n = img1.shape[0]
         feats, _ = TwinsSVTLarge2Stage(name="feat_encoder")(
             jnp.concatenate([img1, img2], axis=0)
         )
         feats = nn.Conv(256, (1, 1), use_bias=False, name="channel_convertor")(feats)
         feat_s, feat_t = feats[:n], feats[n:]
-        ffeat = feat_s
 
         b, h, w, c = feat_s.shape
         # all-pairs cost, NO sqrt(dim) scaling (`encoder.py:485-503`)
@@ -405,7 +410,14 @@ class MemoryEncoder(nn.Module):
             feat_t.reshape(b, h * w, c),
             preferred_element_type=jnp.float32,
         )
-        cost_volume = corr.reshape(b, h, w, h, w)
+        if bidir:
+            cost_volume = jnp.concatenate(
+                [corr, corr.transpose(0, 2, 1)], axis=0
+            ).reshape(2 * b, h, w, h, w)
+            ffeat = feats  # [I0-features; I1-features]
+        else:
+            cost_volume = corr.reshape(b, h, w, h, w)
+            ffeat = feat_s
 
         memory, cost_maps = CostPerceiverEncoder(name="cost_perceiver_encoder")(
             cost_volume, context
@@ -598,13 +610,17 @@ class FlowFormer(nn.Module):
     iters: int = 32
 
     @nn.compact
-    def __call__(self, image1: Array, image2: Array, train: bool = False):
+    def __call__(self, image1: Array, image2: Array, train: bool = False,
+                 bidir: bool = False):
+        """bidir=True: both directions batched (rows :N forward, N: backward)
+        — the context encoder and the cost matmul run once, exactly."""
         image1 = 2 * (image1 / 255.0) - 1.0
         image2 = 2 * (image2 / 255.0) - 1.0
 
-        context, cfeat = TwinsSVTLarge2Stage(name="context_encoder")(image1)
+        ctx_in = jnp.concatenate([image1, image2], axis=0) if bidir else image1
+        context, cfeat = TwinsSVTLarge2Stage(name="context_encoder")(ctx_in)
         memory, cost_maps, ffeat = MemoryEncoder(name="memory_encoder")(
-            image1, image2, context
+            image1, image2, context, bidir=bidir
         )
         flow_up, _ = MemoryDecoder(self.iters, name="memory_decoder")(
             memory, context, cost_maps

@@ -211,6 +211,13 @@ class RAFT(nn.Module):
 
     __call__ returns (flow_up, [feat_1/4 (96ch), feat_1/8 (128ch)], fmap1)
     matching `raft/raft.py:166-167` with return_feat=True.
+
+    `bidir=True` estimates BOTH directions in one pass — numerically
+    identical to two calls but ~2x cheaper: fnet/cnet run once over the two
+    frames, the reverse all-pairs volume is the transpose of the forward one
+    (one matmul instead of two), and the GRU loop runs batched 2N. Returns
+    (flow_2n, [feat_1/4_2n, feat_1/8_2n], fmap_2n) with the forward
+    direction in rows :N and the backward in rows N:.
     """
 
     iters: int = 20
@@ -218,7 +225,10 @@ class RAFT(nn.Module):
     corr_radius: int = 4
 
     @nn.compact
-    def __call__(self, image1: Array, image2: Array, train: bool = False):
+    def __call__(
+        self, image1: Array, image2: Array, train: bool = False,
+        bidir: bool = False,
+    ):
         hdim = cdim = 128
         image1 = 2 * (image1 / 255.0) - 1.0
         image2 = 2 * (image2 / 255.0) - 1.0
@@ -230,17 +240,33 @@ class RAFT(nn.Module):
         )
         fmap1, fmap2 = fmaps[:n].astype(jnp.float32), fmaps[n:].astype(jnp.float32)
 
-        pyramid = corr_ops.corr_pyramid(fmap1, fmap2, self.corr_levels)
+        if bidir:
+            # forward + transposed volume from ONE all-pairs matmul
+            pyr_fwd, pyr_bwd = corr_ops.bidir_corr_pyramid(
+                fmap1, fmap2, self.corr_levels
+            )
+            levels = tuple(
+                jnp.concatenate([f, b], axis=0)
+                for f, b in zip(pyr_fwd.levels, pyr_bwd.levels)
+            )
+            cnet_in = jnp.concatenate([image1, image2], 0)
+            nb = 2 * n
+        else:
+            levels = tuple(
+                corr_ops.corr_pyramid(fmap1, fmap2, self.corr_levels).levels
+            )
+            cnet_in = image1
+            nb = n
 
         cnet, feats = BasicEncoder(hdim + cdim, "batch", name="cnet")(
-            image1, return_feature=True, train=train
+            cnet_in, return_feature=True, train=train
         )
         net = jnp.tanh(cnet[..., :hdim])
         inp = nn.relu(cnet[..., hdim:])
 
         h8, w8 = image1.shape[1] // 8, image1.shape[2] // 8
-        coords0 = coords_grid(n, h8, w8)
-        mask0 = jnp.zeros((n, h8, w8, 64 * 9), jnp.float32)
+        coords0 = coords_grid(nb, h8, w8)
+        mask0 = jnp.zeros((nb, h8, w8, 64 * 9), jnp.float32)
 
         scan = nn.scan(
             _RefineStep,
@@ -248,9 +274,11 @@ class RAFT(nn.Module):
             split_rngs={"params": False},
             length=self.iters,
         )
-        carry = (net, coords0, mask0, inp, coords0, tuple(pyramid.levels))
+        carry = (net, coords0, mask0, inp, coords0, levels)
         carry, _ = scan(hdim, self.corr_radius, name="refine")(carry, None)
         net, coords1, up_mask = carry[:3]
 
         flow_up = convex_upsample_8x(coords1 - coords0, up_mask)
+        if bidir:
+            return flow_up, [feats[1], feats[2]], fmaps.astype(jnp.float32)
         return flow_up, [feats[1], feats[2]], fmap1

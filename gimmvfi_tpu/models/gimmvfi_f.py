@@ -36,13 +36,20 @@ class GIMMVFI_F(GIMMVFI_R):
         self.flow_estimator = FlowFormer(iters=self.ff_iters)
 
     def cal_bidirection_flow(self, img0: Array, img1: Array, train: bool = False):
-        """FlowFormer both directions; twins features used unprojected and
-        the bidir corr pyramid built over the raw fnet (`gimmvfi_f.py:114-138`).
-        img0/img1 in [0, 255], NHWC."""
-        f01, feats0, fnet0 = self.flow_estimator(img0, img1, train=train)
-        f10, feats1, fnet1 = self.flow_estimator(img1, img0, train=train)
+        """FlowFormer both directions in ONE batched pass (FlowFormer has no
+        batch-coupled ops, so this is exact); twins features used unprojected
+        and the bidir corr pyramid built over the raw fnet
+        (`gimmvfi_f.py:114-138`). img0/img1 in [0, 255], NHWC."""
+        n = img0.shape[0]
+        flow_2n, feats_2n, fnet_2n = self.flow_estimator(
+            img0, img1, train=train, bidir=True
+        )
+        f01, f10 = flow_2n[:n], flow_2n[n:]
+        fnet0, fnet1 = fnet_2n[:n], fnet_2n[n:]
+        feats0 = [feats_2n[0][:n], feats_2n[1][:n]]
+        feats1 = [feats_2n[0][n:], feats_2n[1][n:]]
 
         corr_pyrs = corr_ops.bidir_corr_pyramid(fnet0, fnet1, num_levels=4)
         nflows, scalers = normalize_flow(jnp.stack([f01, -f10], axis=1))
         flows = jnp.stack([f01, f10], axis=1)
-        return nflows, flows, scalers, list(feats0), list(feats1), corr_pyrs
+        return nflows, flows, scalers, feats0, feats1, corr_pyrs

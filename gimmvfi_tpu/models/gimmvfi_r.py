@@ -94,9 +94,24 @@ class GIMMVFI_R(nn.Module):
     # ------------------------------------------------------------------ flow
     def cal_bidirection_flow(self, img0: Array, img1: Array, train: bool = False):
         """Run RAFT both directions; build AMT features + bidir corr pyramid
-        (`gimmvfi_r.py:126-156`). img0/img1 in [0, 255], NHWC."""
-        f01, feats0, fnet0 = self.flow_estimator(img0, img1, train=train)
-        f10, feats1, fnet1 = self.flow_estimator(img1, img0, train=train)
+        (`gimmvfi_r.py:126-156`). img0/img1 in [0, 255], NHWC.
+
+        Inference uses RAFT's batched bidirectional path (fnet/cnet once,
+        reverse corr volume = free transpose — numerically identical with
+        frozen BN stats, ~2x cheaper). Training keeps the reference's two
+        separate calls so per-direction BatchNorm batch statistics match."""
+        if not train:
+            n = img0.shape[0]
+            flow_2n, feats_2n, fnet_2n = self.flow_estimator(
+                img0, img1, train=False, bidir=True
+            )
+            f01, f10 = flow_2n[:n], flow_2n[n:]
+            fnet0, fnet1 = fnet_2n[:n], fnet_2n[n:]
+            feats0 = [feats_2n[0][:n], feats_2n[1][:n]]
+            feats1 = [feats_2n[0][n:], feats_2n[1][n:]]
+        else:
+            f01, feats0, fnet0 = self.flow_estimator(img0, img1, train=train)
+            f10, feats1, fnet1 = self.flow_estimator(img1, img0, train=train)
 
         corr_pyrs = corr_ops.bidir_corr_pyramid(
             self.amt_fproj(fnet0), self.amt_fproj(fnet1), num_levels=4

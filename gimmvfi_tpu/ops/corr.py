@@ -24,8 +24,6 @@ from typing import NamedTuple, Sequence
 import jax
 import jax.numpy as jnp
 
-from .interp import bilinear_sample
-
 Array = jax.Array
 
 
@@ -118,25 +116,40 @@ def corr_lookup(pyramid: CorrPyramid, coords: Array, radius: int = 4) -> Array:
     coords: (N, H, W, 2) pixel coordinates (x, y) in level-0 target space.
     Returns (N, H, W, num_levels*(2r+1)^2), level-major like the reference
     concat (`raft/corr.py:144-165`).
+
+    TPU-native formulation: bilinear sampling at tap position t from a 1-D
+    grid is EXACTLY a tent-weight contraction — weight(j) = max(0, 1-|t-j|)
+    (zeros padding included: out-of-range taps lose the out-of-range mass).
+    The separable 2-D window lookup therefore becomes two batched matmuls
+    per level,  out = tentY @ corr_map @ tentX^T,  which run on the MXU
+    instead of the element-at-a-time gathers `bilinear_sampler` would emit
+    (the reference's CUDA gather is free; a TPU gather is not).
     """
     n, h, w, _ = coords.shape
     p = h * w
     win = 2 * radius + 1
-    k = win * win
-    offsets = _window_offsets(radius)  # (K, 2)
+    d = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
 
-    flat_coords = coords.reshape(n * p, 2)
+    flat = coords.reshape(n, p, 2)
     out_levels = []
     for i, corr in enumerate(pyramid.levels):
         nl, pl, hl, wl = corr.shape
-        # treat (N*P) as the batch of single-channel images
-        img = corr.reshape(n * p, hl, wl, 1)
-        centroid = flat_coords / (2.0**i)  # (N*P, 2)
-        sample_xy = centroid[:, None, :] + offsets[None, :, :]  # (N*P, K, 2)
-        vals = bilinear_sample(
-            img, sample_xy[..., 0], sample_xy[..., 1], padding_mode="zeros"
-        )  # (N*P, K, 1)
-        out_levels.append(vals.reshape(n, h, w, k))
+        c = flat / (2.0**i)
+        ty = c[..., 1:2] + d  # (N, P, win) tap rows
+        tx = c[..., 0:1] + d  # (N, P, win) tap cols
+        wy = jnp.maximum(
+            0.0, 1.0 - jnp.abs(ty[..., None] - jnp.arange(hl, dtype=jnp.float32))
+        )  # (N, P, win, hl)
+        wx = jnp.maximum(
+            0.0, 1.0 - jnp.abs(tx[..., None] - jnp.arange(wl, dtype=jnp.float32))
+        )  # (N, P, win, wl)
+        rows = jnp.einsum(
+            "npyh,nphw->npyw", wy, corr, preferred_element_type=jnp.float32
+        )
+        vals = jnp.einsum(
+            "npyw,npxw->npxy", rows, wx, preferred_element_type=jnp.float32
+        )  # x-offset outer, matching _window_offsets channel order
+        out_levels.append(vals.reshape(n, h, w, win * win))
     return jnp.concatenate(out_levels, axis=-1)
 
 

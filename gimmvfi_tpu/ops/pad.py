@@ -14,13 +14,25 @@ Array = jax.Array
 
 
 class InputPadder:
-    """Pads NHWC images so H and W are divisible by `divisor` (replicate)."""
+    """Pads NHWC images so H and W are divisible by `divisor` (replicate).
 
-    def __init__(self, dims: tuple[int, ...], divisor: int = 8, mode: str = "sintel"):
+    `bucket` > divisor rounds the padded size up to a multiple of `bucket`
+    instead: shape-bucketing so mixed-size eval sets hit one XLA compile per
+    bucket instead of one per distinct frame size (recompile hygiene under
+    jit; the reference has no compile cache to worry about).
+    """
+
+    def __init__(
+        self,
+        dims: tuple[int, ...],
+        divisor: int = 8,
+        mode: str = "sintel",
+        bucket: int | None = None,
+    ):
         self.ht, self.wd = dims[-3:-1] if len(dims) >= 3 else dims
-        d = divisor
-        pad_ht = (((self.ht // d) + 1) * d - self.ht) % d
-        pad_wd = (((self.wd // d) + 1) * d - self.wd) % d
+        d = max(divisor, bucket or 0)
+        pad_ht = (d - self.ht % d) % d
+        pad_wd = (d - self.wd % d) % d
         if mode == "sintel":
             # (left, right, top, bottom)
             self._pad = [pad_wd // 2, pad_wd - pad_wd // 2, pad_ht // 2, pad_ht - pad_ht // 2]

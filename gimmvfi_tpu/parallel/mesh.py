@@ -44,9 +44,19 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Device_put a pytree of host arrays with batch-dim sharding."""
+    """Pytree of host arrays -> batch-dim-sharded global arrays.
+
+    Single-host: plain device_put. Multi-host: each process holds only its
+    slice of the global batch, assembled with
+    `jax.make_array_from_process_local_data` (the per-host input sharding of
+    `DistributedSampler`, reference `trainer.py:49-55`).
+    """
     s = batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(s, np.asarray(x)), batch
+    )
 
 
 def replicate(mesh: Mesh, tree):

@@ -1,0 +1,47 @@
+"""Spatial sharding for high-resolution single-pair inference.
+
+The reference scales resolution with DS_SCALE + a V100's 16-32GB of HBM
+(README.md:93-97); the TPU-native scaling axis is the device mesh: shard the
+frame WIDTH over the mesh's 'space' axis and let GSPMD partition the whole
+interpolation pipeline — convolutions get halo exchanges, the all-pairs
+correlation volume and the HypoNet token matmuls shard over query rows, and
+parameters stay replicated. This is the "context parallelism" analog named in
+SURVEY.md §5 (long-context == spatial resolution here).
+
+Works with any model exposing prepare/decode_one (GIMM-VFI-R and -F).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.gimmvfi_r import interpolate_sequential
+from .mesh import replicate
+
+
+def interpolate_spatial_sharded(
+    model,
+    variables,
+    img_xs,
+    t_values,
+    mesh: Mesh,
+    ds_factor: float | None = None,
+    axis: str = "space",
+):
+    """Nx interpolation with the W axis sharded over `axis`.
+
+    img_xs: (N, 2, H, W, 3) host or device array; W must divide the axis
+    size. Returns the same stacked dict as `interpolate_sequential`, with
+    outputs sharded the same way (device_get to materialize on host).
+    """
+    x_sharding = NamedSharding(mesh, P(None, None, None, axis, None))
+    img_xs = jax.device_put(jnp.asarray(img_xs), x_sharding)
+    variables = replicate(mesh, variables)
+
+    fn = jax.jit(
+        lambda v, x, ts: interpolate_sequential(model, v, x, ts, ds_factor)
+    )
+    with mesh:
+        return fn(variables, img_xs, jnp.asarray(t_values, jnp.float32))

@@ -16,8 +16,12 @@ import jax.numpy as jnp
 
 
 def ema_init(variables: Any) -> Any:
-    """Initial EMA state = copy of the model variables (step -1 behavior)."""
-    return jax.tree_util.tree_map(jnp.asarray, variables)
+    """Initial EMA state = copy of the model variables (step -1 behavior).
+
+    A REAL copy: `jnp.asarray` would alias the source buffers, and aliased
+    params/ema leaves break buffer donation ("donate the same buffer twice")
+    on the first donated train step."""
+    return jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), variables)
 
 
 def ema_update(

@@ -1,0 +1,69 @@
+"""Batched bidirectional flow == two unidirectional calls (exactness of the
+shared-feature / transposed-volume optimization).
+
+RAFT: exact in eval mode (frozen BatchNorm running stats).
+FlowFormer: exact always (LayerNorm only — no batch-coupled ops).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gimmvfi_tpu.flow.flowformer import FlowFormer
+from gimmvfi_tpu.flow.raft import RAFT
+
+
+def test_raft_bidir_matches_two_calls(rng):
+    model = RAFT(iters=2)
+    img0 = jnp.asarray(rng.random((1, 64, 64, 3), np.float32) * 255)
+    img1 = jnp.asarray(rng.random((1, 64, 64, 3), np.float32) * 255)
+    variables = jax.jit(lambda r: model.init(r, img0, img1))(jax.random.PRNGKey(0))
+
+    fwd = jax.jit(lambda a, b: model.apply(variables, a, b))
+    f01, feats0, fmap0 = fwd(img0, img1)
+    f10, feats1, fmap1 = fwd(img1, img0)
+
+    bid = jax.jit(lambda a, b: model.apply(variables, a, b, bidir=True))
+    flow_2n, feats_2n, fmap_2n = bid(img0, img1)
+
+    np.testing.assert_allclose(np.asarray(flow_2n[:1]), np.asarray(f01),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(flow_2n[1:]), np.asarray(f10),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(fmap_2n[:1]), np.asarray(fmap0),
+                               atol=1e-6)
+    for k in range(2):
+        np.testing.assert_allclose(np.asarray(feats_2n[k][:1]),
+                                   np.asarray(feats0[k]), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(feats_2n[k][1:]),
+                                   np.asarray(feats1[k]), atol=1e-6)
+
+
+def test_flowformer_bidir_matches_two_calls(rng):
+    model = FlowFormer(iters=2)
+    img0 = jnp.asarray(rng.random((1, 64, 64, 3), np.float32) * 255)
+    img1 = jnp.asarray(rng.random((1, 64, 64, 3), np.float32) * 255)
+    variables = jax.jit(lambda r: model.init(r, img0, img1))(jax.random.PRNGKey(0))
+
+    fwd = jax.jit(lambda a, b: model.apply(variables, a, b))
+    f01, cfeat0, ffeat0 = fwd(img0, img1)
+    f10, cfeat1, ffeat1 = fwd(img1, img0)
+
+    bid = jax.jit(lambda a, b: model.apply(variables, a, b, bidir=True))
+    flow_2n, cfeat_2n, ffeat_2n = bid(img0, img1)
+
+    np.testing.assert_allclose(np.asarray(flow_2n[:1]), np.asarray(f01),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(flow_2n[1:]), np.asarray(f10),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(ffeat_2n[:1]), np.asarray(ffeat0),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ffeat_2n[1:]), np.asarray(ffeat1),
+                               atol=1e-6)
+    for k in range(2):
+        np.testing.assert_allclose(np.asarray(cfeat_2n[k][:1]),
+                                   np.asarray(cfeat0[k]), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(cfeat_2n[k][1:]),
+                                   np.asarray(cfeat1[k]), atol=1e-6)

@@ -1,0 +1,90 @@
+"""GIMM-VFI-R parity at REAL inference settings: 20 RAFT iterations, 448x256.
+
+Round-1 parity was only proven at 4 iters / <=256^2; this closes the
+iteration-count and scale gap (error accumulation over the full GRU loop,
+larger flows, bigger pyramids). Slow (single-core torch golden + XLA compile)
+but it is the strongest correctness evidence available without the released
+checkpoints.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir("/root/reference"), reason="reference tree unavailable"
+)
+
+ITERS = 20
+H, W = 256, 448
+
+
+@pytest.fixture(scope="module")
+def ref_model():
+    import ref_compat
+
+    ref_compat.install_stubs()
+    import argparse
+
+    import torch
+
+    import src.models.generalizable_INR.gimmvfi_r as ref_mod
+    from src.models.generalizable_INR.raft.raft import RAFT as TorchRAFT
+
+    def fake_initialize_raft():
+        args = argparse.Namespace(
+            small=False, mixed_precision=False, alternate_corr=False, dropout=0
+        )
+        return TorchRAFT(args)
+
+    ref_mod.initialize_RAFT = fake_initialize_raft
+    ref_mod.softsplat = ref_compat.patched_softsplat
+
+    torch.manual_seed(3)
+    model = ref_mod.GIMMVFI_R(ref_compat.gimmvfi_config())
+    model.eval()
+    return model
+
+
+def test_interpolate_parity_20iters_448(ref_model, rng):
+    import torch
+
+    from gimmvfi_tpu.models.gimmvfi_r import GIMMVFI_R
+    from gimmvfi_tpu.utils.convert import convert_gimmvfi_r
+
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    params, stats = convert_gimmvfi_r(sd)
+    model = GIMMVFI_R(raft_iters=ITERS)
+    variables = {"params": params, "batch_stats": stats}
+
+    base = rng.random((1, 2, H // 8, W // 8, 3)).astype(np.float32)
+    img = np.stack(
+        [np.kron(base[:, i], np.ones((1, 8, 8, 1), np.float32)) for i in range(2)],
+        axis=1,
+    )
+    ts = (0.375,)
+
+    xs = torch.from_numpy(img.transpose(0, 4, 1, 2, 3).copy())
+    with torch.no_grad():
+        coord_inputs = [
+            (ref_model.sample_coord_input(1, (H, W), [tv], device=xs.device), None)
+            for tv in ts
+        ]
+        timesteps = [torch.full((1,), tv).float() for tv in ts]
+        ref_out = ref_model(xs, coord_inputs, t=timesteps)
+
+    out = model.apply(variables, jnp.asarray(img), ts, method=model.interpolate)
+
+    ref_img = ref_out["imgt_pred"][0].numpy().transpose(0, 2, 3, 1)
+    pred = np.asarray(out["imgt_pred"][0])
+    np.testing.assert_allclose(pred, ref_img, atol=4e-3)
+    # PSNR delta between implementations on the same target: must be tiny
+    mse_ref = float(((ref_img - img[:, 1]) ** 2).mean())
+    mse_jax = float(((pred - img[:, 1]) ** 2).mean())
+    psnr_delta = abs(
+        10 * np.log10(max(mse_ref, 1e-12)) - 10 * np.log10(max(mse_jax, 1e-12))
+    )
+    assert psnr_delta < 0.05, f"PSNR delta {psnr_delta:.4f} dB exceeds 0.05"

@@ -1,0 +1,133 @@
+"""End-to-end training CLI smoke: fabricate a tiny Vimeo tree, run one epoch
+of each stage through `cli.train.main`, then exercise --resume.
+
+This is the "training is actually drivable" proof round 1 lacked: the
+two-stage recipe runs from YAML configs, logs losses + validation (model and
+EMA), writes a checkpoint, and resumes from it.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+
+def _write_png(path, h=80, w=80, seed=0):
+    import cv2
+
+    rng = np.random.default_rng(seed)
+    img = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    cv2.imwrite(path, img)
+
+
+def _make_fake_vimeo(root):
+    """Septuplet train tree + triplet test tree (+ stage-1 flow triplets)."""
+    sep = os.path.join(root, "vimeo_septuplet")
+    tri = os.path.join(root, "vimeo_triplet")
+    seqs = [f"00001/{i:04d}" for i in range(8)]
+
+    for s in seqs:
+        for k in range(1, 8):
+            _write_png(os.path.join(sep, "sequences", s, f"im{k}.png"),
+                       seed=hash((s, k)) % 2**31)
+    with open(os.path.join(sep, "all_sep.txt"), "w") as f:
+        f.write("\n".join(seqs) + "\n")
+
+    for s in seqs:
+        for k in range(1, 4):
+            _write_png(os.path.join(tri, "sequences", s, f"im{k}.png"),
+                       seed=hash((s, k, "tri")) % 2**31)
+    # the reference testlist convention drops the final line
+    with open(os.path.join(tri, "tri_testlist.txt"), "w") as f:
+        f.write("\n".join(seqs + ["dummy_last"]) + "\n")
+
+    # stage-1 flow triplets (.flo), 64x64 — include "dummy_last" because the
+    # flow dataset's test split keeps every listing line
+    from gimmvfi_tpu.data.frame_io import write_flo
+
+    rng = np.random.default_rng(0)
+    for s in seqs + ["dummy_last"]:
+        d = os.path.join(tri, "flow_sequences", s)
+        os.makedirs(d, exist_ok=True)
+        for name in ("im1_im3", "im2_im3", "im2_im1", "im3_im1"):
+            write_flo(
+                os.path.join(d, f"{name}.flo"),
+                (rng.random((64, 64, 2)).astype(np.float32) * 4 - 2),
+            )
+    with open(os.path.join(tri, "tri_trainlist.txt"), "w") as f:
+        f.write("\n".join(seqs) + "\n")
+    return sep, tri
+
+
+@pytest.fixture(scope="module")
+def fake_vimeo(tmp_path_factory):
+    root = tmp_path_factory.mktemp("vimeo")
+    return _make_fake_vimeo(str(root))
+
+
+def test_stage2_smoke_train_and_resume(fake_vimeo, tmp_path):
+    from gimmvfi_tpu.cli.train import main
+
+    sep, _ = fake_vimeo
+    out = str(tmp_path / "runs")
+    overrides = [
+        "arch.raft_iter=2",
+        "dataset.crop_size=[64,64]",
+        f"dataset.path={sep}",
+        "experiment.batch_size=1",
+        "experiment.epochs=1",
+        "experiment.test_freq=1",
+        "experiment.save_ckpt_freq=1",
+        "experiment.test_imlog_freq=100",
+    ]
+    main(
+        [
+            "--config", "configs/gimmvfi/gimmvfi_r_arb.yaml",
+            "--result-path", out,
+            "--overrides", *overrides,
+            "--smoke-test",
+        ]
+    )
+    run_dir = os.path.join(out, sorted(os.listdir(out))[0])
+    assert os.path.isdir(os.path.join(run_dir, "ckpt"))
+    log = open(os.path.join(run_dir, "train.log")).read()
+    assert "epoch 0:" in log and "loss_total" in log
+    assert "[valid]" in log and "[valid_ema]" in log  # eval + EMA eval ran
+
+    # resume from the run dir for one more epoch
+    main(
+        [
+            "--config", "unused-when-resuming",
+            "--result-path", run_dir,
+            "--resume",
+            "--overrides", *overrides, "experiment.epochs=2",
+            "--smoke-test",
+        ]
+    )
+    log = open(os.path.join(run_dir, "train.log")).read()
+    assert "resumed from step" in log
+    assert "epoch 1:" in log
+
+
+def test_stage1_smoke_train(fake_vimeo, tmp_path):
+    from gimmvfi_tpu.cli.train import main
+
+    _, tri = fake_vimeo
+    out = str(tmp_path / "runs1")
+    main(
+        [
+            "--config", "configs/gimm/gimm.yaml",
+            "--result-path", out,
+            "--overrides",
+            f"dataset.path={tri}",
+            "experiment.batch_size=1",
+            "experiment.epochs=1",
+            "experiment.test_freq=1",
+            "experiment.save_ckpt_freq=1",
+            "--smoke-test",
+        ]
+    )
+    run_dir = os.path.join(out, sorted(os.listdir(out))[0])
+    log = open(os.path.join(run_dir, "train.log")).read()
+    assert "epoch 0:" in log and "psnr" in log
