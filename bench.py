@@ -21,12 +21,17 @@ import jax.numpy as jnp
 V100_REFERENCE_FPS_720P_8X = 4.0  # estimate, pending reference measurement
 
 
+def _fetch(out):
+    """Force completion: on the axon tunnel block_until_ready returns before
+    remote execution finishes — only a host readback truly waits."""
+    return float(jnp.asarray(jax.tree_util.tree_leaves(out)[0]).mean())
+
+
 def _time(fn, *args, iters=3):
-    jax.block_until_ready(fn(*args))  # compile + warm
+    _fetch(fn(*args))  # compile + warm
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        _fetch(fn(*args))
     return (time.perf_counter() - t0) / iters
 
 
@@ -47,7 +52,7 @@ def profile_stages(model, variables, img_xs, n_t):
     t_dec = _time(dec_fn, variables, prep, jnp.float32(0.5))
     print(f"decode_one (splat + INR + AMT synthesis):    {t_dec*1e3:.1f} ms")
 
-    raft = RAFT(iters=model.raft_iters)
+    raft = RAFT(iters=model.raft_iters, dtype=model.dtype)
     rv = {"params": variables["params"]["flow_estimator"]}
     rs = variables.get("batch_stats", {}).get("flow_estimator")
     if rs is not None:
@@ -73,11 +78,17 @@ def main():
         help="DS_SCALE working-res factor (e.g. 0.5 for the 2K envelope: "
         "--size 2048x1088 --ds 0.5, reference README.md:93-95)",
     )
+    p.add_argument(
+        "--f32", action="store_true",
+        help="full-f32 compute (default: bf16 mixed precision, the "
+        "production inference configuration; f32-vs-bf16 agree >70 dB)",
+    )
     args = p.parse_args()
 
     n_t = 7  # 8x => 7 intermediate frames
     h, w = (int(s) for s in args.size.split("x"))  # 720p padded to /32
-    model = GIMMVFI_R(raft_iters=20)
+    dtype = jnp.float32 if args.f32 else jnp.bfloat16
+    model = GIMMVFI_R(raft_iters=20, dtype=dtype)
 
     # init via eval_shape: eager init on the TPU tunnel is pathologically slow
     rng = jax.random.PRNGKey(0)
@@ -106,16 +117,16 @@ def main():
         profile_stages(model, variables, img_xs, n_t)
 
     # warmup/compile
-    jax.block_until_ready(run(variables, img_xs))
+    _fetch(run(variables, img_xs))
 
     if args.trace_dir:
         with jax.profiler.trace(args.trace_dir):
-            jax.block_until_ready(run(variables, img_xs))
+            _fetch(run(variables, img_xs))
 
     iters = 3
     t0 = time.perf_counter()
     for _ in range(iters):
-        jax.block_until_ready(run(variables, img_xs))
+        _fetch(run(variables, img_xs))
     dt = (time.perf_counter() - t0) / iters
 
     fps = n_t / dt

@@ -81,7 +81,8 @@ def run_snu_film_arb(args):
         for row in rows:
             frames = [read_image(os.path.join(args.data_root, p)) for p in row]
             i0, gts, i1 = frames[0], frames[1:-1], frames[-1]
-            padder = InputPadder(i0.shape, 32)
+            # bucketed padding: mixed-size eval sets compile once per bucket
+            padder = InputPadder(i0.shape, 32, bucket=args.bucket)
             xs = jnp.stack(
                 padder.pad(jnp.asarray(i0[None]), jnp.asarray(i1[None])), axis=1
             )
@@ -147,7 +148,7 @@ def run_x4k(args):
                 cv2.resize(x, (2048, 1080), interpolation=cv2.INTER_AREA)
                 for x in (i0, i1, gt)
             )
-        padder = InputPadder(i0.shape, 32)
+        padder = InputPadder(i0.shape, 32, bucket=args.bucket)
         xs = jnp.stack(padder.pad(jnp.asarray(i0[None]), jnp.asarray(i1[None])), 1)
         out = run(xs, [float(t)], ds)
         pred = np.asarray(padder.unpad(out["imgt_pred"][0]))[0]
@@ -275,6 +276,11 @@ def main(argv=None):
             "--model", default="gimmvfi_r", choices=["gimmvfi_r", "gimmvfi_f"]
         )
         sp.add_argument("--flow-iters", type=int, default=None)
+        sp.add_argument(
+            "--bucket", type=int, default=None,
+            help="round padded sizes up to a multiple of this (one XLA "
+            "compile per size bucket on mixed-size sets; e.g. 128)",
+        )
         if name == "x4k":
             sp.add_argument("--split", choices=("2k", "4k"), default="2k")
             sp.add_argument("--save-preds", default=None)

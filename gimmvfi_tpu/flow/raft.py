@@ -17,7 +17,7 @@ dead code in the reference.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax
@@ -36,6 +36,7 @@ class ResidualBlock(nn.Module):
     planes: int
     norm_fn: str = "instance"
     stride: int = 1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -44,17 +45,18 @@ class ResidualBlock(nn.Module):
                 return instance_norm(h)
             if self.norm_fn == "batch":
                 return nn.BatchNorm(
-                    use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name
+                    use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                    dtype=self.dtype, name=name
                 )(h)
             return h
 
-        y = Conv2d(self.planes, 3, self.stride, 1, name="conv1")(x)
+        y = Conv2d(self.planes, 3, self.stride, 1, dtype=self.dtype, name="conv1")(x)
         y = nn.relu(norm(y, "norm1"))
-        y = Conv2d(self.planes, 3, 1, 1, name="conv2")(y)
+        y = Conv2d(self.planes, 3, 1, 1, dtype=self.dtype, name="conv2")(y)
         y = nn.relu(norm(y, "norm2"))
 
         if self.stride != 1:
-            x = Conv2d(self.planes, 1, self.stride, 0, name="downsample")(x)
+            x = Conv2d(self.planes, 1, self.stride, 0, dtype=self.dtype, name="downsample")(x)
             x = norm(x, "norm3")
         return nn.relu(x + y)
 
@@ -67,30 +69,33 @@ class BasicEncoder(nn.Module):
 
     output_dim: int = 256
     norm_fn: str = "instance"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array, return_feature: bool = False, train: bool = False):
-        h = Conv2d(64, 7, 2, 3, name="conv1")(x)
+        dt = self.dtype
+        h = Conv2d(64, 7, 2, 3, dtype=dt, name="conv1")(x)
         if self.norm_fn == "instance":
             h = instance_norm(h)
         elif self.norm_fn == "batch":
             h = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5, name="norm1"
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=dt, name="norm1"
             )(h)
         h = nn.relu(h)
 
         feats = []
-        h = ResidualBlock(64, self.norm_fn, 1, name="layer1_0")(h, train)
-        h = ResidualBlock(64, self.norm_fn, 1, name="layer1_1")(h, train)
+        h = ResidualBlock(64, self.norm_fn, 1, dtype=dt, name="layer1_0")(h, train)
+        h = ResidualBlock(64, self.norm_fn, 1, dtype=dt, name="layer1_1")(h, train)
         feats.append(h)
-        h = ResidualBlock(96, self.norm_fn, 2, name="layer2_0")(h, train)
-        h = ResidualBlock(96, self.norm_fn, 1, name="layer2_1")(h, train)
+        h = ResidualBlock(96, self.norm_fn, 2, dtype=dt, name="layer2_0")(h, train)
+        h = ResidualBlock(96, self.norm_fn, 1, dtype=dt, name="layer2_1")(h, train)
         feats.append(h)
-        h = ResidualBlock(128, self.norm_fn, 2, name="layer3_0")(h, train)
-        h = ResidualBlock(128, self.norm_fn, 1, name="layer3_1")(h, train)
+        h = ResidualBlock(128, self.norm_fn, 2, dtype=dt, name="layer3_0")(h, train)
+        h = ResidualBlock(128, self.norm_fn, 1, dtype=dt, name="layer3_1")(h, train)
         feats.append(h)
 
-        h = Conv2d(self.output_dim, 1, 1, 0, name="conv2")(h)
+        h = Conv2d(self.output_dim, 1, 1, 0, dtype=dt, name="conv2")(h)
         if return_feature:
             return h, feats
         return h
@@ -99,15 +104,20 @@ class BasicEncoder(nn.Module):
 class BasicMotionEncoder(nn.Module):
     """corr+flow conv encoder (update.py:94-112); corr_levels=4, radius=4."""
 
+    dtype: Any = None
+
     @nn.compact
     def __call__(self, flow: Array, corr: Array) -> Array:
-        cor = nn.relu(Conv2d(256, 1, 1, 0, name="convc1")(corr))
-        cor = nn.relu(Conv2d(192, 3, 1, 1, name="convc2")(cor))
-        flo = nn.relu(Conv2d(128, 7, 1, 3, name="convf1")(flow))
-        flo = nn.relu(Conv2d(64, 3, 1, 1, name="convf2")(flo))
+        dt = self.dtype
+        cor = nn.relu(Conv2d(256, 1, 1, 0, dtype=dt, name="convc1")(corr))
+        cor = nn.relu(Conv2d(192, 3, 1, 1, dtype=dt, name="convc2")(cor))
+        flo = nn.relu(Conv2d(128, 7, 1, 3, dtype=dt, name="convf1")(flow))
+        flo = nn.relu(Conv2d(64, 3, 1, 1, dtype=dt, name="convf2")(flo))
         out = nn.relu(
-            Conv2d(126, 3, 1, 1, name="conv")(jnp.concatenate([cor, flo], -1))
+            Conv2d(126, 3, 1, 1, dtype=dt, name="conv")(jnp.concatenate([cor, flo], -1))
         )
+        if dt is not None:
+            flow = flow.astype(dt)
         return jnp.concatenate([out, flow], -1)
 
 
@@ -115,15 +125,17 @@ class SepConvGRU(nn.Module):
     """Separable 1x5 + 5x1 ConvGRU (update.py:35-73)."""
 
     hidden_dim: int = 128
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, h: Array, x: Array) -> Array:
+        dt = self.dtype
         for suffix, ks, pad in (("1", (1, 5), (0, 2)), ("2", (5, 1), (2, 0))):
             hx = jnp.concatenate([h, x], -1)
-            z = nn.sigmoid(Conv2d(self.hidden_dim, ks, 1, pad, name=f"convz{suffix}")(hx))
-            r = nn.sigmoid(Conv2d(self.hidden_dim, ks, 1, pad, name=f"convr{suffix}")(hx))
+            z = nn.sigmoid(Conv2d(self.hidden_dim, ks, 1, pad, dtype=dt, name=f"convz{suffix}")(hx))
+            r = nn.sigmoid(Conv2d(self.hidden_dim, ks, 1, pad, dtype=dt, name=f"convr{suffix}")(hx))
             q = jnp.tanh(
-                Conv2d(self.hidden_dim, ks, 1, pad, name=f"convq{suffix}")(
+                Conv2d(self.hidden_dim, ks, 1, pad, dtype=dt, name=f"convq{suffix}")(
                     jnp.concatenate([r * h, x], -1)
                 )
             )
@@ -133,11 +145,13 @@ class SepConvGRU(nn.Module):
 
 class FlowHead(nn.Module):
     hidden_dim: int = 256
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        h = nn.relu(Conv2d(self.hidden_dim, 3, 1, 1, name="conv1")(x))
-        return Conv2d(2, 3, 1, 1, name="conv2")(h)
+        h = nn.relu(Conv2d(self.hidden_dim, 3, 1, 1, dtype=self.dtype, name="conv1")(x))
+        # delta-flow leaves in float32: the coords state accumulates in f32
+        return Conv2d(2, 3, 1, 1, dtype=self.dtype, name="conv2")(h).astype(jnp.float32)
 
 
 class BasicUpdateBlock(nn.Module):
@@ -145,16 +159,18 @@ class BasicUpdateBlock(nn.Module):
     (update.py:131-154)."""
 
     hidden_dim: int = 128
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, net: Array, inp: Array, corr: Array, flow: Array):
-        motion = BasicMotionEncoder(name="encoder")(flow, corr)
-        net = SepConvGRU(self.hidden_dim, name="gru")(
+        dt = self.dtype
+        motion = BasicMotionEncoder(dtype=dt, name="encoder")(flow, corr)
+        net = SepConvGRU(self.hidden_dim, dtype=dt, name="gru")(
             net, jnp.concatenate([inp, motion], -1)
         )
-        delta_flow = FlowHead(256, name="flow_head")(net)
-        mask = nn.relu(Conv2d(256, 3, 1, 1, name="mask_0")(net))
-        mask = 0.25 * Conv2d(64 * 9, 1, 1, 0, name="mask_2")(mask)
+        delta_flow = FlowHead(256, dtype=dt, name="flow_head")(net)
+        mask = nn.relu(Conv2d(256, 3, 1, 1, dtype=dt, name="mask_0")(net))
+        mask = 0.25 * Conv2d(64 * 9, 1, 1, 0, dtype=dt, name="mask_2")(mask)
         return net, mask, delta_flow
 
 
@@ -165,7 +181,7 @@ def convex_upsample_8x(flow: Array, mask: Array) -> Array:
     (k = 3x3 neighbor index, (i, j) = subpixel position).
     """
     n, h, w, _ = flow.shape
-    mask = mask.reshape(n, h, w, 9, 8, 8)
+    mask = mask.astype(jnp.float32).reshape(n, h, w, 9, 8, 8)
     mask = jax.nn.softmax(mask, axis=3)
 
     fp = jnp.pad(8.0 * flow, [(0, 0), (1, 1), (1, 1), (0, 0)])
@@ -190,6 +206,7 @@ class _RefineStep(nn.Module):
 
     hidden_dim: int = 128
     corr_radius: int = 4
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, carry, _):
@@ -200,7 +217,7 @@ class _RefineStep(nn.Module):
         )
         flow = coords1 - coords0
         net, up_mask, delta_flow = BasicUpdateBlock(
-            self.hidden_dim, name="update_block"
+            self.hidden_dim, dtype=self.dtype, name="update_block"
         )(net, inp, corr, flow)
         coords1 = coords1 + delta_flow
         return (net, coords1, up_mask, inp, coords0, pyramid), None
@@ -223,6 +240,7 @@ class RAFT(nn.Module):
     iters: int = 20
     corr_levels: int = 4
     corr_radius: int = 4
+    dtype: Any = None
 
     @nn.compact
     def __call__(
@@ -230,15 +248,19 @@ class RAFT(nn.Module):
         bidir: bool = False,
     ):
         hdim = cdim = 128
+        dt = self.dtype
         image1 = 2 * (image1 / 255.0) - 1.0
         image2 = 2 * (image2 / 255.0) - 1.0
         n = image1.shape[0]
 
-        # shared-batch feature extraction over both frames
-        fmaps = BasicEncoder(256, "instance", name="fnet")(
+        # shared-batch feature extraction over both frames. The all-pairs
+        # matmul + pyramid stay in the compute dtype (bf16 halves the volume's
+        # HBM footprint AND the 20-iter lookup traffic); accumulation is f32.
+        fmaps = BasicEncoder(256, "instance", dtype=dt, name="fnet")(
             jnp.concatenate([image1, image2], 0)
         )
-        fmap1, fmap2 = fmaps[:n].astype(jnp.float32), fmaps[n:].astype(jnp.float32)
+        fdt = jnp.float32 if dt is None else dt
+        fmap1, fmap2 = fmaps[:n].astype(fdt), fmaps[n:].astype(fdt)
 
         if bidir:
             # forward + transposed volume from ONE all-pairs matmul
@@ -258,7 +280,7 @@ class RAFT(nn.Module):
             cnet_in = image1
             nb = n
 
-        cnet, feats = BasicEncoder(hdim + cdim, "batch", name="cnet")(
+        cnet, feats = BasicEncoder(hdim + cdim, "batch", dtype=dt, name="cnet")(
             cnet_in, return_feature=True, train=train
         )
         net = jnp.tanh(cnet[..., :hdim])
@@ -266,7 +288,7 @@ class RAFT(nn.Module):
 
         h8, w8 = image1.shape[1] // 8, image1.shape[2] // 8
         coords0 = coords_grid(nb, h8, w8)
-        mask0 = jnp.zeros((nb, h8, w8, 64 * 9), jnp.float32)
+        mask0 = jnp.zeros((nb, h8, w8, 64 * 9), net.dtype)
 
         scan = nn.scan(
             _RefineStep,
@@ -275,10 +297,10 @@ class RAFT(nn.Module):
             length=self.iters,
         )
         carry = (net, coords0, mask0, inp, coords0, levels)
-        carry, _ = scan(hdim, self.corr_radius, name="refine")(carry, None)
+        carry, _ = scan(hdim, self.corr_radius, dtype=dt, name="refine")(carry, None)
         net, coords1, up_mask = carry[:3]
 
         flow_up = convex_upsample_8x(coords1 - coords0, up_mask)
         if bidir:
-            return flow_up, [feats[1], feats[2]], fmaps.astype(jnp.float32)
+            return flow_up, [feats[1], feats[2]], fmaps.astype(fdt)
         return flow_up, [feats[1], feats[2]], fmap1

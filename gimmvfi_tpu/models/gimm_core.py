@@ -8,6 +8,8 @@ warp-consistency splatting-weight metric.
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -51,29 +53,35 @@ def gaussian_blur3x3(x: Array) -> Array:
 class MotionEncoder(nn.Module):
     """`cnn_encoder`: 2-channel flow -> 16-channel latent (`gimm.py:38-49`)."""
 
+    dtype: Any = None
+
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        x = Conv2d(16, 3, 1, 1, name="conv0")(x)
-        x = Conv2d(32, 3, 1, 1, name="conv1")(x)
+        dt = self.dtype
+        x = Conv2d(16, 3, 1, 1, dtype=dt, name="conv0")(x)
+        x = Conv2d(32, 3, 1, 1, dtype=dt, name="conv1")(x)
         x = leaky_relu(x, 0.1)
-        x = LateralBlock(32, name="lateral3")(x)
-        x = LateralBlock(32, name="lateral4")(x)
-        x = LateralBlock(32, name="lateral5")(x)
+        x = LateralBlock(32, dtype=dt, name="lateral3")(x)
+        x = LateralBlock(32, dtype=dt, name="lateral4")(x)
+        x = LateralBlock(32, dtype=dt, name="lateral5")(x)
         x = leaky_relu(x, 0.1)
-        return Conv2d(16, 3, 1, 1, pad_mode="reflect", name="conv7")(x)
+        return Conv2d(16, 3, 1, 1, pad_mode="reflect", dtype=dt, name="conv7")(x)
 
 
 class LatentRefiner(nn.Module):
     """`res_conv`: fuse splatted latents with a residual (`gimm.py:54-63`)."""
 
+    dtype: Any = None
+
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        x = Conv2d(32, 3, 1, 1, name="conv0")(x)
-        x = Conv2d(64, 3, 1, 1, name="conv1")(x)
+        dt = self.dtype
+        x = Conv2d(32, 3, 1, 1, dtype=dt, name="conv0")(x)
+        x = Conv2d(64, 3, 1, 1, dtype=dt, name="conv1")(x)
         x = leaky_relu(x, 0.1)
-        x = LateralBlock(64, name="lateral3")(x)
+        x = LateralBlock(64, dtype=dt, name="lateral3")(x)
         x = leaky_relu(x, 0.1)
-        return Conv2d(32, 3, 1, 1, pad_mode="reflect", name="conv5")(x)
+        return Conv2d(32, 3, 1, 1, pad_mode="reflect", dtype=dt, name="conv5")(x)
 
 
 def splatting_weights(

@@ -55,19 +55,29 @@ class GIMMVFI_R(nn.Module):
     fwarp_type: str = "linear"
     corr_radius: int = 4
     coord_range: tuple[float, float] = (-1.0, 1.0)
+    # compute dtype for the conv-heavy paths (None = f32; jnp.bfloat16 = MXU
+    # mixed precision). Flow/coordinate state and the HypoNet INR stay f32.
+    dtype: Any = None
 
     def setup(self):
         f_dims = (256, 128)
         skip = f_dims[1] // 2  # 64
+        dt = self.dtype
         self._setup_flow_estimator(f_dims)
-        self.amt_init_decoder = InitDecoder(f_dims[0], skip)
-        self.amt_final_decoder = MultiFlowDecoder(f_dims[1], skip, self.num_flows)
-        self.amt_update4_low = UpdateBlock(cdim=f_dims[0] // 2, scale_factor=2.0)
-        self.amt_update4_high = UpdateBlock(cdim=f_dims[0] // 2, scale_factor=None)
-        self.amt_comb_block = CombBlock(self.num_flows)
+        self.amt_init_decoder = InitDecoder(f_dims[0], skip, dtype=dt)
+        self.amt_final_decoder = MultiFlowDecoder(
+            f_dims[1], skip, self.num_flows, dtype=dt
+        )
+        self.amt_update4_low = UpdateBlock(
+            cdim=f_dims[0] // 2, scale_factor=2.0, dtype=dt
+        )
+        self.amt_update4_high = UpdateBlock(
+            cdim=f_dims[0] // 2, scale_factor=None, dtype=dt
+        )
+        self.amt_comb_block = CombBlock(self.num_flows, dtype=dt)
 
-        self.cnn_encoder = MotionEncoder()
-        self.res_conv = LatentRefiner()
+        self.cnn_encoder = MotionEncoder(dtype=dt)
+        self.res_conv = LatentRefiner(dtype=dt)
         self.hyponet = HypoNet(
             n_layer=5,
             hidden_dim=128,
@@ -84,12 +94,16 @@ class GIMMVFI_R(nn.Module):
         """RAFT + the 1x1 feature projections GIMMVFI_R adds on top of it
         (`gimmvfi_r.py:44-52`). GIMMVFI_F overrides this (FlowFormer emits
         AMT-shaped features natively, `gimmvfi_f.py:37-44`)."""
-        self.flow_estimator = RAFT(iters=self.raft_iters)
-        self.amt_last_cproj = Conv2d(f_dims[0], 1, 1, 0, name="amt_last_cproj")
-        self.amt_second_last_cproj = Conv2d(
-            f_dims[1], 1, 1, 0, name="amt_second_last_cproj"
+        self.flow_estimator = RAFT(iters=self.raft_iters, dtype=self.dtype)
+        self.amt_last_cproj = Conv2d(
+            f_dims[0], 1, 1, 0, dtype=self.dtype, name="amt_last_cproj"
         )
-        self.amt_fproj = Conv2d(f_dims[0], 1, 1, 0, name="amt_fproj")
+        self.amt_second_last_cproj = Conv2d(
+            f_dims[1], 1, 1, 0, dtype=self.dtype, name="amt_second_last_cproj"
+        )
+        self.amt_fproj = Conv2d(
+            f_dims[0], 1, 1, 0, dtype=self.dtype, name="amt_fproj"
+        )
 
     # ------------------------------------------------------------------ flow
     def cal_bidirection_flow(self, img0: Array, img1: Array, train: bool = False):

@@ -9,7 +9,7 @@ mode for stage-2 fine-tuning).
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
@@ -25,12 +25,13 @@ class LateralBlock(nn.Module):
     """conv-lrelu-conv residual block (`fi_components.py:17-29`)."""
 
     dim: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        y = Conv2d(self.dim, 3, 1, 1, name="conv_0")(x)
+        y = Conv2d(self.dim, 3, 1, 1, dtype=self.dtype, name="conv_0")(x)
         y = leaky_relu(y, 0.1)
-        y = Conv2d(self.dim, 3, 1, 1, name="conv_2")(y)
+        y = Conv2d(self.dim, 3, 1, 1, dtype=self.dtype, name="conv_2")(y)
         return x + y
 
 
@@ -41,10 +42,12 @@ class ConvPReLU(nn.Module):
     kernel_size: int = 3
     stride: int = 1
     padding: int = 1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        x = Conv2d(self.features, self.kernel_size, self.stride, self.padding, name="conv")(x)
+        x = Conv2d(self.features, self.kernel_size, self.stride, self.padding,
+                   dtype=self.dtype, name="conv")(x)
         return PReLU(self.features, name="prelu")(x)
 
 
@@ -53,19 +56,21 @@ class ResBlock(nn.Module):
 
     in_channels: int
     side_channels: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         s = self.side_channels
-        out = ConvPReLU(self.in_channels, name="conv1")(x)
+        dt = self.dtype
+        out = ConvPReLU(self.in_channels, dtype=dt, name="conv1")(x)
 
-        side = ConvPReLU(s, name="conv2")(out[..., -s:])
-        out = ConvPReLU(self.in_channels, name="conv3")(
+        side = ConvPReLU(s, dtype=dt, name="conv2")(out[..., -s:])
+        out = ConvPReLU(self.in_channels, dtype=dt, name="conv3")(
             jnp.concatenate([out[..., :-s], side], -1)
         )
 
-        side = ConvPReLU(s, name="conv4")(out[..., -s:])
-        out = Conv2d(self.in_channels, 3, 1, 1, name="conv5")(
+        side = ConvPReLU(s, dtype=dt, name="conv4")(out[..., -s:])
+        out = Conv2d(self.in_channels, 3, 1, 1, dtype=dt, name="conv5")(
             jnp.concatenate([out[..., :-s], side], -1)
         )
         return PReLU(self.in_channels, name="prelu")(x + out)
@@ -77,20 +82,23 @@ class UpsampleHead(nn.Module):
 
     in_ch: int
     num_shuffles: int = 1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
+        dt = self.dtype
         for _ in range(self.num_shuffles):
             x = pixel_shuffle(x, 2)
         c4 = self.in_ch // 4
-        x = ConvPReLU(c4, 5, 1, 2, name="cr0")(x)
-        x = ConvPReLU(c4, name="cr1")(x)
-        x = ConvPReLU(c4, name="cr2")(x)
-        x = ConvPReLU(c4, name="cr3")(x)
-        x = ConvPReLU(self.in_ch // 2, name="cr4")(x)
-        x = Conv2d(self.in_ch // 2, 1, 1, 0, name="proj")(x)
+        x = ConvPReLU(c4, 5, 1, 2, dtype=dt, name="cr0")(x)
+        x = ConvPReLU(c4, dtype=dt, name="cr1")(x)
+        x = ConvPReLU(c4, dtype=dt, name="cr2")(x)
+        x = ConvPReLU(c4, dtype=dt, name="cr3")(x)
+        x = ConvPReLU(self.in_ch // 2, dtype=dt, name="cr4")(x)
+        x = Conv2d(self.in_ch // 2, 1, 1, 0, dtype=dt, name="proj")(x)
         x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn"
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=dt, name="bn"
         )(x)
         return nn.relu(x)
 
@@ -102,10 +110,11 @@ class InitDecoder(nn.Module):
 
     in_ch: int  # 256
     skip_ch: int  # 64
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, f0, f1, flow0_in, flow1_in, img0, img1, train: bool = False):
-        up = UpsampleHead(self.in_ch, 1, name="upsample")
+        up = UpsampleHead(self.in_ch, 1, dtype=self.dtype, name="upsample")
         f0 = up(f0, train)
         f1 = up(f1, train)
         f0w = warp(f0, flow0_in)
@@ -120,15 +129,17 @@ class InitDecoder(nn.Module):
         f_in = jnp.concatenate([f_in, img0, img1, w0, w1], -1)
 
         c = self.in_ch // 2
-        h = ConvPReLU(c, 1, 1, 0, name="cb0")(f_in)
-        h = ResBlock(c, self.skip_ch, name="cb1")(h)
-        h = ResBlock(c, self.skip_ch, name="cb2")(h)
-        h = ResBlock(c, self.skip_ch, name="cb3")(h)
-        out = Conv2d(c + 5, 3, 1, 1, name="cb4")(h)
+        dt = self.dtype
+        h = ConvPReLU(c, 1, 1, 0, dtype=dt, name="cb0")(f_in)
+        h = ResBlock(c, self.skip_ch, dtype=dt, name="cb1")(h)
+        h = ResBlock(c, self.skip_ch, dtype=dt, name="cb2")(h)
+        h = ResBlock(c, self.skip_ch, dtype=dt, name="cb3")(h)
+        out = Conv2d(c + 5, 3, 1, 1, dtype=dt, name="cb4")(h)
 
         ft_ = out[..., 4:]
-        flow0 = flow0_in + out[..., :2]
-        flow1 = flow1_in + out[..., 2:4]
+        # flow corrections accumulate in float32 regardless of compute dtype
+        flow0 = flow0_in + out[..., :2].astype(flow0_in.dtype)
+        flow1 = flow1_in + out[..., 2:4].astype(flow1_in.dtype)
         return flow0, flow1, ft_
 
 
@@ -145,35 +156,42 @@ class UpdateBlock(nn.Module):
     fc_dim: int = 188
     scale_factor: Optional[float] = None
     out_num: int = 1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, net: Array, flow: Array, corr: Array):
         sf = self.scale_factor
+        dt = self.dtype
         if sf is not None:
             net = resize(net, 1.0 / sf)
-        cor = leaky_relu(Conv2d(self.corr_dim, 1, 1, 0, name="convc1")(corr), 0.1)
-        cor = leaky_relu(Conv2d(self.corr_dim2, 3, 1, 1, name="convc2")(cor), 0.1)
-        flo = leaky_relu(Conv2d(self.flow_dim * 2, 7, 1, 3, name="convf1")(flow), 0.1)
-        flo = leaky_relu(Conv2d(self.flow_dim, 3, 1, 1, name="convf2")(flo), 0.1)
+        cor = leaky_relu(Conv2d(self.corr_dim, 1, 1, 0, dtype=dt, name="convc1")(corr), 0.1)
+        cor = leaky_relu(Conv2d(self.corr_dim2, 3, 1, 1, dtype=dt, name="convc2")(cor), 0.1)
+        flo = leaky_relu(Conv2d(self.flow_dim * 2, 7, 1, 3, dtype=dt, name="convf1")(flow), 0.1)
+        flo = leaky_relu(Conv2d(self.flow_dim, 3, 1, 1, dtype=dt, name="convf2")(flo), 0.1)
         inp = leaky_relu(
-            Conv2d(self.fc_dim, 3, 1, 1, name="conv")(
+            Conv2d(self.fc_dim, 3, 1, 1, dtype=dt, name="conv")(
                 jnp.concatenate([cor, flo], -1)
             ),
             0.1,
         )
+        if dt is not None:
+            flow = flow.astype(dt)
+            net = net.astype(dt)
         inp = jnp.concatenate([inp, flow, net], -1)
 
-        h = Conv2d(self.hidden_dim, 3, 1, 1, name="gru_0")(inp)
+        h = Conv2d(self.hidden_dim, 3, 1, 1, dtype=dt, name="gru_0")(inp)
         h = leaky_relu(h, 0.1)
-        h = Conv2d(self.hidden_dim, 3, 1, 1, name="gru_2")(h)
+        h = Conv2d(self.hidden_dim, 3, 1, 1, dtype=dt, name="gru_2")(h)
 
-        dnet = Conv2d(self.hidden_dim, 3, 1, 1, name="feat_head_0")(h)
+        dnet = Conv2d(self.hidden_dim, 3, 1, 1, dtype=dt, name="feat_head_0")(h)
         dnet = leaky_relu(dnet, 0.1)
-        dnet = Conv2d(self.cdim, 3, 1, 1, name="feat_head_2")(dnet)
+        dnet = Conv2d(self.cdim, 3, 1, 1, dtype=dt, name="feat_head_2")(dnet)
 
-        dflow = Conv2d(self.hidden_dim, 3, 1, 1, name="flow_head_0")(h)
+        dflow = Conv2d(self.hidden_dim, 3, 1, 1, dtype=dt, name="flow_head_0")(h)
         dflow = leaky_relu(dflow, 0.1)
-        dflow = Conv2d(4 * self.out_num, 3, 1, 1, name="flow_head_2")(dflow)
+        dflow = Conv2d(4 * self.out_num, 3, 1, 1, dtype=dt, name="flow_head_2")(dflow)
+        # delta-flows leave the block in float32 so flow state stays f32
+        dflow = dflow.astype(jnp.float32)
 
         if sf is not None:
             dnet = resize(dnet, sf)
@@ -188,10 +206,11 @@ class MultiFlowDecoder(nn.Module):
     in_ch: int  # 128
     skip_ch: int  # 64
     num_flows: int = 3
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, ft_, f0, f1, flow0, flow1, mask, img0, img1, train: bool = False):
-        up = UpsampleHead(self.in_ch, 2, name="upsample")
+        up = UpsampleHead(self.in_ch, 2, dtype=self.dtype, name="upsample")
         f0 = up(f0, train)
         f1 = up(f1, train)
         n = self.num_flows
@@ -210,11 +229,12 @@ class MultiFlowDecoder(nn.Module):
         )
 
         c = self.in_ch * 2
-        h = ConvPReLU(c, name="cb0")(f_in)
-        h = ResBlock(c, self.skip_ch, name="cb1")(h)
-        h = ResBlock(c, self.skip_ch, name="cb2")(h)
-        h = ResBlock(c, self.skip_ch, name="cb3")(h)
-        out = Conv2d(8 * n, 3, 1, 1, name="cb4")(h)
+        dt = self.dtype
+        h = ConvPReLU(c, dtype=dt, name="cb0")(f_in)
+        h = ResBlock(c, self.skip_ch, dtype=dt, name="cb1")(h)
+        h = ResBlock(c, self.skip_ch, dtype=dt, name="cb2")(h)
+        h = ResBlock(c, self.skip_ch, dtype=dt, name="cb3")(h)
+        out = Conv2d(8 * n, 3, 1, 1, dtype=dt, name="cb4")(h).astype(jnp.float32)
 
         d_flow0, d_flow1, d_mask, img_res = jnp.split(
             out, [2 * n, 4 * n, 5 * n], axis=-1
@@ -229,13 +249,14 @@ class CombBlock(nn.Module):
     """7x7 conv + PReLU + 7x7 conv correction head (`gimmvfi_r.py:60-64`)."""
 
     num_flows: int = 3
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         n = self.num_flows
-        x = Conv2d(6 * n, 7, 1, 3, name="conv_0")(x)
+        x = Conv2d(6 * n, 7, 1, 3, dtype=self.dtype, name="conv_0")(x)
         x = PReLU(6 * n, name="prelu")(x)
-        return Conv2d(3, 7, 1, 3, name="conv_2")(x)
+        return Conv2d(3, 7, 1, 3, dtype=self.dtype, name="conv_2")(x).astype(jnp.float32)
 
 
 def multi_flow_combine(

@@ -36,6 +36,9 @@ class Conv2d(nn.Module):
     """torch.nn.Conv2d equivalent (NHWC, HWIO kernel).
 
     padding: int or (ph, pw); pad_mode "zeros" | "reflect" | "replicate".
+    `dtype` is the flax computation dtype: params stay float32, inputs and
+    kernel are cast to `dtype` for the conv (bfloat16 = MXU-native mixed
+    precision). None keeps full input/param promotion (float32).
     """
 
     features: int
@@ -46,6 +49,7 @@ class Conv2d(nn.Module):
     groups: int = 1
     use_bias: bool = True
     pad_mode: str = "zeros"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -67,6 +71,7 @@ class Conv2d(nn.Module):
             kernel_dilation=_pair(self.dilation),
             feature_group_count=self.groups,
             use_bias=self.use_bias,
+            dtype=self.dtype,
             kernel_init=nn.initializers.variance_scaling(
                 1.0 / 3.0, "fan_in", "uniform"
             ),
@@ -85,7 +90,8 @@ class PReLU(nn.Module):
         alpha = self.param(
             "alpha", lambda k, s: jnp.full(s, 0.25, jnp.float32), (self.channels,)
         )
-        return jnp.maximum(x, 0) + alpha * jnp.minimum(x, 0)
+        # keep the activation in the input's compute dtype (no f32 promotion)
+        return jnp.maximum(x, 0) + alpha.astype(x.dtype) * jnp.minimum(x, 0)
 
 
 def leaky_relu(x: Array, negative_slope: float = 0.1) -> Array:
@@ -93,10 +99,15 @@ def leaky_relu(x: Array, negative_slope: float = 0.1) -> Array:
 
 
 def instance_norm(x: Array, eps: float = 1e-5) -> Array:
-    """torch InstanceNorm2d default (affine=False, biased var, per-sample)."""
-    mean = x.mean(axis=(1, 2), keepdims=True)
-    var = ((x - mean) ** 2).mean(axis=(1, 2), keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps)
+    """torch InstanceNorm2d default (affine=False, biased var, per-sample).
+
+    Statistics are always computed in float32 (bf16 variance suffers
+    catastrophic cancellation); the result returns in the input dtype.
+    """
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(axis=(1, 2), keepdims=True)
+    var = ((xf - mean) ** 2).mean(axis=(1, 2), keepdims=True)
+    return ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
 
 
 class BatchNorm(nn.Module):

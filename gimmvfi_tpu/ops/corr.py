@@ -28,7 +28,15 @@ Array = jax.Array
 
 
 def all_pairs_corr(fmap1: Array, fmap2: Array) -> Array:
-    """corr (N, H1*W1, H2, W2) from NHWC feature maps, scaled by 1/sqrt(C)."""
+    """corr (N, H1*W1, H2, W2) from NHWC feature maps, scaled by 1/sqrt(C).
+
+    Accumulation is always f32 (preferred_element_type); the stored volume
+    keeps the input dtype — with bf16 feature maps the volume (the single
+    biggest tensor at 720p+) halves its HBM footprint and every downstream
+    lookup halves its traffic. Precision is DEFAULT: on TPU the f32 path
+    would otherwise burn a multi-pass MXU emulation (HIGHEST) for values
+    that only feed conv features.
+    """
     n, h1, w1, c = fmap1.shape
     h2, w2 = fmap2.shape[1:3]
     a = fmap1.reshape(n, h1 * w1, c)
@@ -38,9 +46,8 @@ def all_pairs_corr(fmap1: Array, fmap2: Array) -> Array:
         a,
         b,
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
     ) / jnp.sqrt(jnp.float32(c))
-    return corr.reshape(n, h1 * w1, h2, w2)
+    return corr.reshape(n, h1 * w1, h2, w2).astype(fmap1.dtype)
 
 
 def _avg_pool_last2(x: Array) -> Array:
@@ -137,19 +144,22 @@ def corr_lookup(pyramid: CorrPyramid, coords: Array, radius: int = 4) -> Array:
         c = flat / (2.0**i)
         ty = c[..., 1:2] + d  # (N, P, win) tap rows
         tx = c[..., 0:1] + d  # (N, P, win) tap cols
+        # tent weights computed in f32 (sub-pixel positions), contracted in
+        # the volume's dtype (bf16 when the pipeline runs mixed precision)
+        # with f32 accumulation
         wy = jnp.maximum(
             0.0, 1.0 - jnp.abs(ty[..., None] - jnp.arange(hl, dtype=jnp.float32))
-        )  # (N, P, win, hl)
+        ).astype(corr.dtype)  # (N, P, win, hl)
         wx = jnp.maximum(
             0.0, 1.0 - jnp.abs(tx[..., None] - jnp.arange(wl, dtype=jnp.float32))
-        )  # (N, P, win, wl)
+        ).astype(corr.dtype)  # (N, P, win, wl)
         rows = jnp.einsum(
             "npyh,nphw->npyw", wy, corr, preferred_element_type=jnp.float32
-        )
+        ).astype(corr.dtype)
         vals = jnp.einsum(
             "npyw,npxw->npxy", rows, wx, preferred_element_type=jnp.float32
         )  # x-offset outer, matching _window_offsets channel order
-        out_levels.append(vals.reshape(n, h, w, win * win))
+        out_levels.append(vals.astype(corr.dtype).reshape(n, h, w, win * win))
     return jnp.concatenate(out_levels, axis=-1)
 
 

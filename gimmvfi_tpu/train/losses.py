@@ -8,11 +8,15 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Array = jax.Array
 
+# Plain numpy on purpose: a module-level jnp op would initialize the default
+# JAX backend at import time, breaking late platform selection (e.g. the
+# multichip dryrun pinning to CPU). Same trap as models/gimm_core.py.
 _GAUSS5 = (
-    jnp.array(
+    np.array(
         [
             [1.0, 4.0, 6.0, 4.0, 1.0],
             [4.0, 16.0, 24.0, 16.0, 4.0],
@@ -20,7 +24,7 @@ _GAUSS5 = (
             [4.0, 16.0, 24.0, 16.0, 4.0],
             [1.0, 4.0, 6.0, 4.0, 1.0],
         ],
-        dtype=jnp.float32,
+        dtype=np.float32,
     )
     / 256.0
 )
@@ -55,7 +59,9 @@ def laplacian_pyramid(img: Array, max_levels: int) -> list[Array]:
     for _ in range(max_levels):
         filtered = _conv_gauss(current)
         down = filtered[:, ::2, ::2]
-        up = _lap_upsample(down)
+        # odd level sizes: the 2x upsample overshoots by one row/col — crop
+        # (the reference's training recipes only ever see even sizes)
+        up = _lap_upsample(down)[:, : current.shape[1], : current.shape[2]]
         pyr.append(current - up)
         current = down
     return pyr

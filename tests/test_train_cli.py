@@ -121,6 +121,7 @@ def test_stage1_smoke_train(fake_vimeo, tmp_path):
             "--result-path", out,
             "--overrides",
             f"dataset.path={tri}",
+            "dataset.crop_size=[64,64]",  # fixture .flo files are 64x64
             "experiment.batch_size=1",
             "experiment.epochs=1",
             "experiment.test_freq=1",
