@@ -117,16 +117,19 @@ class InitDecoder(nn.Module):
         up = UpsampleHead(self.in_ch, 1, dtype=self.dtype, name="upsample")
         f0 = up(f0, train)
         f1 = up(f1, train)
-        f0w = warp(f0, flow0_in)
-        f1w = warp(f1, flow1_in)
-        f_in = jnp.concatenate([f0w, f1w, flow0_in, flow1_in], -1)
 
-        scale = f_in.shape[1] / img0.shape[1]
+        scale = f0.shape[1] / img0.shape[1]
         img0 = resize(img0, scale)
         img1 = resize(img1, scale)
-        w0 = warp(img0, flow0_in)
-        w1 = warp(img1, flow1_in)
-        f_in = jnp.concatenate([f_in, img0, img1, w0, w1], -1)
+        # one gather per flow: features and image share the same warp
+        c_f = f0.shape[-1]
+        w0_all = warp(jnp.concatenate([f0, img0.astype(f0.dtype)], -1), flow0_in)
+        w1_all = warp(jnp.concatenate([f1, img1.astype(f1.dtype)], -1), flow1_in)
+        f0w, w0 = w0_all[..., :c_f], w0_all[..., c_f:]
+        f1w, w1 = w1_all[..., :c_f], w1_all[..., c_f:]
+        f_in = jnp.concatenate(
+            [f0w, f1w, flow0_in, flow1_in, img0, img1, w0, w1], -1
+        )
 
         c = self.in_ch // 2
         dt = self.dtype
@@ -219,11 +222,12 @@ class MultiFlowDecoder(nn.Module):
         flow1 = 4.0 * resize(flow1, 4.0)
         ft_ = resize(ft_, 4.0)
         mask = resize(mask, 4.0)
-        f0w = warp(f0, flow0)
-        f1w = warp(f1, flow1)
-
-        w0 = warp(img0, flow0)
-        w1 = warp(img1, flow1)
+        # one gather per flow: features and image share the same warp
+        c_f = f0.shape[-1]
+        w0_all = warp(jnp.concatenate([f0, img0.astype(f0.dtype)], -1), flow0)
+        w1_all = warp(jnp.concatenate([f1, img1.astype(f1.dtype)], -1), flow1)
+        f0w, w0 = w0_all[..., :c_f], w0_all[..., c_f:]
+        f1w, w1 = w1_all[..., :c_f], w1_all[..., c_f:]
         f_in = jnp.concatenate(
             [ft_, f0w, f1w, flow0, flow1, mask, img0, img1, w0, w1], -1
         )

@@ -39,6 +39,49 @@ def _gather_2d(img: Array, ix: Array, iy: Array) -> Array:
     return jnp.take_along_axis(flat, idx[..., None], axis=1)
 
 
+def quad_gather(img: Array, ix0: Array, iy0: Array, padding_mode: str) -> Array:
+    """Fetch the 2x2 corner block at integer base (ix0, iy0) per point.
+
+    TPU formulation: XLA row-gathers are DMA-descriptor-bound (~15 ns/row,
+    nearly independent of row width), so the four bilinear corners are
+    fetched with ONE gather of 4C-wide rows from a "quad" view of the
+    padded image, instead of four separate gathers (~2.3x at 720p).
+    Padding: edge for border mode (clamp semantics at the frame edge fall
+    out of the padding), zeros for zeros mode (the caller's masked weights
+    make far-out-of-range values irrelevant).
+
+    img: (N, H, W, C); ix0/iy0: (N, P) int32 (any values; clamped).
+    Returns (N, P, 4, C) with corner order 00, 01 (x+1), 10 (y+1), 11 —
+    each corner's value equals img[clip(iy0+dy, 0, H-1), clip(ix0+dx, ...)]
+    in border mode (zeros mode differs only where the caller masks).
+    """
+    n, h, w, c = img.shape
+    mode = "edge" if padding_mode == "border" else "constant"
+    # 1 px before / 2 px after each spatial dim: the +1 corner of a base
+    # clamped to the far pad row/col must itself stay in-buffer (edge pad
+    # replicates the border pixel, reproducing clip(corner, 0, size-1))
+    imgp = jnp.pad(img, [(0, 0), (1, 2), (1, 2), (0, 0)], mode=mode)
+    w3 = w + 3
+    flat = imgp.reshape(n, (h + 3) * w3, c)
+
+    py = jnp.clip(iy0, -1, h) + 1  # [0, h+1]
+    px = jnp.clip(ix0, -1, w) + 1  # [0, w+1]
+    base = py * w3 + px
+
+    m = (h + 1) * w3 + w + 2  # exclusive bound for base indices
+    quad = jnp.concatenate(
+        [
+            flat[:, :m],
+            flat[:, 1 : m + 1],
+            flat[:, w3 : w3 + m],
+            flat[:, w3 + 1 : w3 + 1 + m],
+        ],
+        axis=-1,
+    )  # (N, m, 4C); channel block k = corner (dy, dx) = (k // 2, k % 2)
+    vals = jnp.take_along_axis(quad, base[..., None], axis=1)  # (N, P, 4C)
+    return vals.reshape(n, base.shape[1], 4, c)
+
+
 def bilinear_sample(
     img: Array,
     x: Array,
@@ -58,34 +101,34 @@ def bilinear_sample(
     x = x.astype(jnp.float32)
     y = y.astype(jnp.float32)
 
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    wx = x - x0
-    wy = y - y0
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    wx = x - x0f
+    wy = y - y0f
+    ix0 = x0f.astype(jnp.int32)
+    iy0 = y0f.astype(jnp.int32)
 
-    ix0 = x0.astype(jnp.int32)
-    iy0 = y0.astype(jnp.int32)
-    ix1 = ix0 + 1
-    iy1 = iy0 + 1
+    vals = quad_gather(img, ix0, iy0, padding_mode)  # (N, P, 4, C)
 
-    def corner(ix, iy, weight):
-        cx = jnp.clip(ix, 0, w - 1)
-        cy = jnp.clip(iy, 0, h - 1)
-        val = _gather_2d(img, cx, cy)
-        if padding_mode == "zeros":
-            inb = (
+    w00 = (1.0 - wx) * (1.0 - wy)
+    w01 = wx * (1.0 - wy)
+    w10 = (1.0 - wx) * wy
+    w11 = wx * wy
+    if padding_mode == "zeros":
+
+        def inb(ix, iy):
+            return (
                 (ix >= 0) & (ix <= w - 1) & (iy >= 0) & (iy <= h - 1)
-            ).astype(dtype)
-            weight = weight * inb
-        return val * weight[..., None].astype(dtype)
+            ).astype(jnp.float32)
 
-    out = (
-        corner(ix0, iy0, (1.0 - wx) * (1.0 - wy))
-        + corner(ix1, iy0, wx * (1.0 - wy))
-        + corner(ix0, iy1, (1.0 - wx) * wy)
-        + corner(ix1, iy1, wx * wy)
-    )
-    return out
+        w00 = w00 * inb(ix0, iy0)
+        w01 = w01 * inb(ix0 + 1, iy0)
+        w10 = w10 * inb(ix0, iy0 + 1)
+        w11 = w11 * inb(ix0 + 1, iy0 + 1)
+
+    # corner order matches quad blocks: 00, 01 (x+1), 10 (y+1), 11
+    weights = jnp.stack([w00, w01, w10, w11], axis=-1).astype(dtype)
+    return jnp.einsum("npk,npkc->npc", weights, vals)
 
 
 def grid_sample(

@@ -25,12 +25,126 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .interp import quad_gather
+
 Array = jax.Array
 
 _EPS = 1e-7  # 0.0000001 in the reference
 
 
 def _splat_core(ten_in: Array, flow: Array) -> Array:
+    """Scatter-add splat of ten_in along flow. Shapes: (N,H,W,C), (N,H,W,2).
+
+    On TPU this dispatches to the Pallas sorted-window kernel
+    (ops/splat_pallas.py, ~10x faster than XLA's scatter-add at 720p) with
+    gather-based gradients; elsewhere (CPU tests) it is the XLA scatter-add
+    below, differentiated by autodiff. Both are deterministic and agree to
+    f32 rounding.
+    """
+    n, h, w, _ = ten_in.shape
+    if _use_pallas(n, h, w):
+        return _splat_core_pallas(ten_in, flow)
+    return _splat_core_xla(ten_in, flow)
+
+
+def _use_pallas(n: int, h: int, w: int) -> bool:
+    total = n * (h * w + 2 * (w + 1))
+    if h * w < 4096 or total >= (1 << 24):
+        return False  # tiny inputs / key-exactness bound (f32 key channel)
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        return False
+    return platform in ("tpu", "axon")
+
+
+def _geometry(flow: Array, h: int, w: int):
+    """Shared forward/backward splat geometry (sanitized positions, integer
+    corners, bilinear weight factors, per-corner in-bounds masks)."""
+    f32 = jnp.float32
+    u = flow[..., 0].astype(f32)
+    v = flow[..., 1].astype(f32)
+    jj = jnp.arange(w, dtype=f32)[None, None, :]
+    ii = jnp.arange(h, dtype=f32)[None, :, None]
+    x = jj + u
+    y = ii + v
+    finite = jnp.isfinite(x) & jnp.isfinite(y)
+    x = jnp.where(finite, x, -10.0)
+    y = jnp.where(finite, y, -10.0)
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    ix0 = x0f.astype(jnp.int32)
+    iy0 = y0f.astype(jnp.int32)
+    wx1 = x - x0f
+    wy1 = y - y0f
+
+    def inb(ix, iy):
+        return ((ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)).astype(f32)
+
+    masks = (
+        inb(ix0, iy0),
+        inb(ix0 + 1, iy0),
+        inb(ix0, iy0 + 1),
+        inb(ix0 + 1, iy0 + 1),
+    )
+    return ix0, iy0, wx1, wy1, masks
+
+
+@jax.custom_vjp
+def _splat_core_pallas(ten_in: Array, flow: Array) -> Array:
+    from .splat_pallas import splat_corners_sorted
+
+    out = splat_corners_sorted(ten_in.astype(jnp.float32), flow)
+    return out.astype(ten_in.dtype)
+
+
+def _splat_pallas_fwd(ten_in, flow):
+    return _splat_core_pallas(ten_in, flow), (ten_in, flow)
+
+
+def _splat_pallas_bwd(res, g):
+    """Splat gradients as gathers (the reference's softsplat_ingrad /
+    softsplat_flowgrad are also gathers, `softsplat.py:478-636`):
+      d ten_in = bilinear gather of g at the splat position;
+      d flow   = value-weighted corner differences of g.
+    One quad_gather serves both."""
+    ten_in, flow = res
+    n, h, w, c = ten_in.shape
+    p = h * w
+    f32 = jnp.float32
+    g32 = g.astype(f32)
+    ix0, iy0, wx1, wy1, masks = _geometry(flow, h, w)
+    ix0 = ix0.reshape(n, p)
+    iy0 = iy0.reshape(n, p)
+    wx1 = wx1.reshape(n, p)
+    wy1 = wy1.reshape(n, p)
+    m00, m01, m10, m11 = (m.reshape(n, p) for m in masks)
+    wx0 = 1.0 - wx1
+    wy0 = 1.0 - wy1
+
+    gq = quad_gather(g32, ix0, iy0, "zeros")  # (N, P, 4, C)
+
+    weights = jnp.stack(
+        [wx0 * wy0 * m00, wx1 * wy0 * m01, wx0 * wy1 * m10, wx1 * wy1 * m11],
+        axis=-1,
+    )  # (N, P, 4)
+    d_ten = jnp.einsum("npk,npkc->npc", weights, gq)
+    d_ten = d_ten.reshape(n, h, w, c).astype(ten_in.dtype)
+
+    # s_k[p] = <ten_in[p], g[corner_k(p)]>
+    vflat = ten_in.astype(f32).reshape(n, p, c)
+    sk = jnp.einsum("npc,npkc->npk", vflat, gq)  # (N, P, 4)
+    s00, s01, s10, s11 = (sk[..., k] for k in range(4))
+    du = (-wy0 * m00 * s00 + wy0 * m01 * s01 - wy1 * m10 * s10 + wy1 * m11 * s11)
+    dv = (-wx0 * m00 * s00 - wx1 * m01 * s01 + wx0 * m10 * s10 + wx1 * m11 * s11)
+    d_flow = jnp.stack([du, dv], axis=-1).reshape(n, h, w, 2).astype(flow.dtype)
+    return d_ten, d_flow
+
+
+_splat_core_pallas.defvjp(_splat_pallas_fwd, _splat_pallas_bwd)
+
+
+def _splat_core_xla(ten_in: Array, flow: Array) -> Array:
     """Scatter-add splat of ten_in along flow. Shapes: (N,H,W,C), (N,H,W,2)."""
     n, h, w, c = ten_in.shape
     f32 = jnp.float32

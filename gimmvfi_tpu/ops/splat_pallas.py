@@ -1,0 +1,251 @@
+"""TPU-native softsplat forward core: sorted, windowed, MXU-accumulated.
+
+XLA's scatter-add on TPU costs ~72-95 ms for a 720p splat REGARDLESS of
+index pattern (measured, tools/scatter_sorted_bench.py) — it is the single
+most expensive op in the interpolation pipeline (4 corner scatters ~350 ms
+per softsplat call). This module replaces it with the TPU-native design:
+
+  1. (XLA) compute the 4 bilinear corner weights + the *base* corner's
+     linearized destination for every source pixel; sort source pixels by
+     destination with ONE `lax.sort_key_val`, permute the (C+4)-channel
+     payload with ONE row gather (gathers are descriptor-bound and cheap).
+  2. (Pallas, sequential grid) destination space is partitioned into
+     static windows of S rows. Each grid step loads its entries (sorted ->
+     contiguous chunks, located by scalar-prefetched `searchsorted`
+     boundaries), accumulates them into a VMEM window of WIN = S + CARRY
+     rows, and writes the first S rows to its output block. A source's
+     non-base corners (+1, +W, +W+1) can spill past the owned S rows into
+     the CARRY region, which persists in scratch across the sequential
+     grid and is added into the next window — every corner is accumulated
+     exactly once, with no cross-window races and no read-modify-write.
+  3. In-window accumulation is the "4-hot matmul": each chunk builds one
+     (CHUNK, WIN) routing matrix m4[s, r] = sum_corners w_corner * (r ==
+     corner destination) and a single f32 dot_general (values^T @ m4, on
+     the MXU at HIGHEST precision) routes every corner of every entry onto
+     the window — the MXU acting as the TPU's "scatter unit". The
+     accumulator is (C, WIN): channels on sublanes, window rows on lanes,
+     so all carry/emit slices are lane-aligned and reshape-free.
+
+The result is bit-deterministic (fixed accumulation order) like the XLA
+path, measured 10.6x faster at 720p (348 -> 33 ms), and exact: float32 payload, float32 one-hots,
+float32 accumulation. Reference semantics: the CUDA `softsplat_out` kernel
+(`softsplat.py:371-421` in the reference), including its bounds handling.
+
+Only the forward lives here; gradients are defined in ops/softsplat.py as
+gathers (the reference's `softsplat_ingrad`/`softsplat_flowgrad` are also
+gathers), so no backward kernel is needed.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+CHUNK = 256  # sorted entries processed per inner step
+S_ROWS = 2048  # destination rows owned by one window (multiple of 128)
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _splat_window_kernel(
+    # scalar prefetch
+    starts_ref,  # (n_win + 1,) int32: entry boundaries per window
+    # inputs (HBM)
+    pay_hbm,  # (E, 128) f32 sorted payload [values | w00 w01 w10 w11 | key | pad]
+    # output (VMEM block)
+    out_ref,  # (C, S) f32: rows [k*S, (k+1)*S) of the destination
+    # scratch
+    pay_vmem,  # (CHUNK, 128) f32
+    carry,  # (C, CARRY) f32: spill into the next window, persists
+    sem_p,
+    *,
+    s_rows: int,
+    carry_rows: int,
+    c_out: int,
+    w_stride: int,
+):
+    k = pl.program_id(0)
+    win = s_rows + carry_rows
+    base0 = k * s_rows
+
+    @pl.when(k == 0)
+    def _():
+        carry[:] = jnp.zeros_like(carry)
+
+    start = starts_ref[k]
+    end = starts_ref[k + 1]
+    c0 = start // CHUNK
+    c1 = jnp.where(end > start, (end - 1) // CHUNK + 1, c0)
+
+    def chunk_body(c, acc):
+        # acc: (C, win) f32 — channels on sublanes, window rows on lanes
+        off = pl.multiple_of(c * CHUNK, CHUNK)
+        cp_p = pltpu.make_async_copy(
+            pay_hbm.at[pl.ds(off, CHUNK), :], pay_vmem, sem_p
+        )
+        cp_p.start()
+        cp_p.wait()
+
+        # key rides as an f32 channel (exact below 2^24; guarded by caller)
+        local = pay_vmem[:, c_out + 4 : c_out + 5].astype(jnp.int32) - base0
+        # entry belongs to this window iff its BASE corner is in [0, S)
+        owned = (local >= 0) & (local < s_rows)
+
+        vals = pay_vmem[:, :c_out]  # (CHUNK, C)
+        r_iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, win), 1)
+
+        # combined 4-hot routing matrix: m4[s, r] = sum_c w_c * (r == dl_c)
+        m4 = jnp.zeros((CHUNK, win), jnp.float32)
+        for ci, delta in enumerate((0, 1, w_stride, w_stride + 1)):
+            w_c = pay_vmem[:, c_out + ci : c_out + ci + 1]  # (CHUNK, 1)
+            dl = jnp.clip(local + delta, 0, win - 1)
+            wmask = jnp.where(owned, w_c, 0.0)
+            m4 = m4 + jnp.where(r_iota == dl, wmask, 0.0)
+
+        # the MXU is the scatter unit: route values onto the window rows
+        upd = jax.lax.dot_general(
+            vals,
+            m4,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,  # exact f32: default MXU
+            # precision truncates the routing weights/values to bf16
+        )  # (C, win)
+        return acc + upd
+
+    acc0 = jnp.zeros((c_out, win), jnp.float32)
+    acc = jax.lax.fori_loop(c0, c1, chunk_body, acc0)
+    # fold in the previous window's spill, emit owned rows, save new spill
+    # (lane-dim slices at 128-multiples; no reshape needed in-kernel)
+    acc = jnp.concatenate(
+        [acc[:, :carry_rows] + carry[:], acc[:, carry_rows:]], axis=1
+    )
+    out_ref[:] = acc[:, :s_rows]
+    carry[:] = acc[:, s_rows:]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def splat_corners_sorted(
+    vals: Array,  # (N, H, W, C) f32 values to splat (already metric-scaled)
+    flow: Array,  # (N, H, W, 2) f32
+    interpret: bool = False,
+) -> Array:
+    """Bilinear forward-splat of `vals` along `flow` (sum mode core).
+
+    Exact equivalent of the XLA scatter formulation in ops/softsplat.py
+    (`_splat_core`), returning (N, H, W, C) f32.
+    """
+    n, h, w, c = vals.shape
+    p = h * w
+    f32 = jnp.float32
+
+    u = flow[..., 0].astype(f32)
+    v = flow[..., 1].astype(f32)
+    jj = jnp.arange(w, dtype=f32)[None, None, :]
+    ii = jnp.arange(h, dtype=f32)[None, :, None]
+    x = jj + u
+    y = ii + v
+    finite = jnp.isfinite(x) & jnp.isfinite(y)
+    x = jnp.where(finite, x, -10.0)
+    y = jnp.where(finite, y, -10.0)
+
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+    wx1 = x - jax.lax.stop_gradient(x0f)
+    wy1 = y - jax.lax.stop_gradient(y0f)
+    wx0 = 1.0 - wx1
+    wy0 = 1.0 - wy1
+
+    def inb(ix, iy):
+        return ((ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)).astype(f32)
+
+    w00 = wx0 * wy0 * inb(x0, y0)
+    w01 = wx1 * wy0 * inb(x0 + 1, y0)
+    w10 = wx0 * wy1 * inb(x0, y0 + 1)
+    w11 = wx1 * wy1 * inb(x0 + 1, y0 + 1)
+
+    # destination canvas padded by one row above/below so partially-valid
+    # base corners (x0/y0 == -1 etc.) stay linearizable; masked weights
+    # make any remaining clamp harmless
+    p_pad = p + 2 * (w + 1)
+    base = y0 * w + x0 + (w + 1)  # in [0, p_pad) for every usable entry
+    img_off = jnp.arange(n, dtype=jnp.int32)[:, None, None] * p_pad
+    key = img_off + jnp.clip(base, 0, p_pad - 1)  # (N, H, W)
+
+    total = n * p_pad
+    s = S_ROWS
+    carry_rows = _round_up(w + 2, 128)
+    win = s + carry_rows
+    n_win = -(-total // s)
+
+    if total >= (1 << 24):
+        raise ValueError(
+            "splat_corners_sorted: destination space exceeds 2^24 rows (the "
+            "key rides as an exact f32 channel); use the XLA path"
+        )
+
+    key_flat = key.reshape(-1)
+    np_rows = n * p
+    e = _round_up(np_rows, CHUNK)
+    sentinel = jnp.int32(n_win * s)
+    key_sorted, order = jax.lax.sort_key_val(
+        key_flat, jnp.arange(np_rows, dtype=jnp.int32)
+    )
+    # payload rows padded to 128 lanes (TPU DMA slices must be lane-aligned):
+    # [values (C) | w00 w01 w10 w11 | key (as exact f32) | zero pad]
+    payload = jnp.concatenate(
+        [
+            vals.astype(f32).reshape(np_rows, c),
+            jnp.stack([w00, w01, w10, w11], axis=-1).reshape(np_rows, 4),
+        ],
+        axis=-1,
+    )  # (NP, C+4)
+    pay_sorted = jnp.take(payload, order, axis=0)
+    pay_sorted = jnp.concatenate(
+        [pay_sorted, key_sorted[:, None].astype(f32)], axis=-1
+    )
+    pay_sorted = jnp.pad(pay_sorted, [(0, e - np_rows), (0, 128 - (c + 5))])
+
+    bounds = jnp.arange(n_win + 1, dtype=jnp.int32) * s
+    starts = jnp.searchsorted(key_sorted, bounds, side="left").astype(jnp.int32)
+
+    kernel = functools.partial(
+        _splat_window_kernel,
+        s_rows=s,
+        carry_rows=carry_rows,
+        c_out=c,
+        w_stride=w,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_win,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((c, s), lambda k, *_: (0, k)),
+        scratch_shapes=[
+            pltpu.VMEM((CHUNK, 128), f32),
+            pltpu.VMEM((c, carry_rows), f32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((c, n_win * s), f32),
+        interpret=interpret,
+    )(starts, pay_sorted)
+
+    out = out.T[:total].reshape(n, p_pad, c)
+    out = out[:, w + 1 : w + 1 + p]
+    return out.reshape(n, h, w, c)
