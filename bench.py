@@ -4,9 +4,15 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 North-star metric (BASELINE.md): interpolated frames/sec for 8x arbitrary-t
 interpolation of a 720p pair. The reference repo publishes no V100 fps, so
-vs_baseline uses a documented estimate of the PyTorch reference on V100
-(~4 interpolated fps at 720p 8x: ~1.8 s/pair for RAFT x2 @20 iters + 7 INR
-decodes + 7 synthesis passes); target is >=3x (BASELINE.json).
+vs_baseline compares against a V100 *speed-of-light bound*: the pipeline's
+measured FLOP count (XLA cost analysis of the compiled executable) divided
+by V100 f32 peak (15.7 TFLOP/s — the reference runs pure f32; its `amp`
+config flag is dead code, SURVEY.md section 2.6). The bound assumes the
+V100 runs at 100%% MFU with free gathers/scatters/sort, so it strictly
+OVERSTATES the reference's achievable fps; beating it proves beating any
+real V100 run. Our FLOP count also under-counts the reference (the batched
+bidirectional flow pass dedupes work the reference does twice), biasing the
+ratio further against us. Target >= 3x (BASELINE.json).
 """
 
 from __future__ import annotations
@@ -18,7 +24,79 @@ import time
 import jax
 import jax.numpy as jnp
 
-V100_REFERENCE_FPS_720P_8X = 4.0  # estimate, pending reference measurement
+V100_F32_PEAK_FLOPS = 15.7e12  # Volta peak FMA f32
+
+
+def _compiled_flops(compiled) -> float | None:
+    """Total FLOPs of a compiled executable via XLA cost analysis."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca["flops"])
+        return flops if flops > 0 else None
+    except Exception:
+        return None
+
+
+def pipeline_flops(model, variables, img_xs, n_t, ds) -> float | None:
+    """FLOPs of the full N-frame interpolation, composed from parts.
+
+    XLA cost analysis counts a lax.scan body ONCE regardless of trip count
+    (verified empirically), so the pipeline is decomposed into
+    prepare + (raft_iters - 1) * refine_step + n_t * decode_one,
+    each of which contains at most one counted copy of any loop body.
+    """
+    import numpy as np
+
+    from gimmvfi_tpu.flow.raft import _RefineStep
+    from gimmvfi_tpu.ops import corr as corr_ops
+
+    try:
+        prep_fn = jax.jit(
+            lambda v, x: model.apply(v, x, ds, method=model.prepare)
+        )
+        prep_c = prep_fn.lower(variables, img_xs).compile()
+        f_prep = _compiled_flops(prep_c)
+        prep = prep_c(variables, img_xs)
+
+        dec_fn = jax.jit(
+            lambda v, p, t: model.apply(v, p, t, method=model.decode_one)
+        )
+        dec_c = dec_fn.lower(variables, prep, jnp.float32(0.5)).compile()
+        f_dec = _compiled_flops(dec_c)
+
+        # one bidirectional GRU refinement iteration at working resolution
+        n, _, h, w, _ = img_xs.shape
+        if ds is not None and ds != 1:
+            h, w = int(h * ds), int(w * ds)
+        h8, w8 = h // 8, w // 8
+        nb = 2 * n  # bidir batch
+        fdt = jnp.float32 if model.dtype is None else model.dtype
+        net = jnp.zeros((nb, h8, w8, 128), fdt)
+        coords = jnp.zeros((nb, h8, w8, 2), jnp.float32)
+        mask = jnp.zeros((nb, h8, w8, 576), fdt)
+        levels = tuple(
+            jnp.zeros((nb, h8 * w8, h8 // (2**i), w8 // (2**i)), fdt)
+            for i in range(4)
+        )
+        carry = (net, coords, mask, net, coords, levels)
+        step = _RefineStep(128, model.corr_radius, dtype=model.dtype)
+        sv = jax.jit(lambda r, c: step.init(r, c, None))(
+            jax.random.PRNGKey(0), carry
+        )
+        st_c = (
+            jax.jit(lambda v, c: step.apply(v, c, None))
+            .lower(sv, carry)
+            .compile()
+        )
+        f_step = _compiled_flops(st_c)
+
+        if None in (f_prep, f_dec, f_step):
+            return None
+        return f_prep + (model.raft_iters - 1) * f_step + n_t * f_dec
+    except Exception:
+        return None
 
 
 def _fetch(out):
@@ -104,7 +182,6 @@ def main():
 
     ts = jnp.asarray([(i + 1) / (n_t + 1) for i in range(n_t)], jnp.float32)
 
-    @jax.jit
     def run(variables, img_xs):
         # sequential per-timestep decode: one timestep's synthesis live at a
         # time (lax.scan), flow estimation shared across all timesteps
@@ -116,30 +193,43 @@ def main():
     if args.profile:
         profile_stages(model, variables, img_xs, n_t)
 
-    # warmup/compile
-    _fetch(run(variables, img_xs))
+    compiled = jax.jit(run).lower(variables, img_xs).compile()
+
+    # warmup
+    _fetch(compiled(variables, img_xs))
 
     if args.trace_dir:
         with jax.profiler.trace(args.trace_dir):
-            _fetch(run(variables, img_xs))
+            _fetch(compiled(variables, img_xs))
 
     iters = 3
     t0 = time.perf_counter()
     for _ in range(iters):
-        _fetch(run(variables, img_xs))
+        _fetch(compiled(variables, img_xs))
     dt = (time.perf_counter() - t0) / iters
 
     fps = n_t / dt
+    flops = pipeline_flops(model, variables, img_xs, n_t, args.ds)
+    extra = {}
+    if flops is not None:
+        # fps a V100 could reach at 100% f32 MFU with free irregular ops —
+        # a strict upper bound on the PyTorch reference (module docstring)
+        v100_bound = n_t * V100_F32_PEAK_FLOPS / flops
+        extra = {
+            "pipeline_tflops": round(flops / 1e12, 2),
+            "v100_speed_of_light_fps": round(v100_bound, 3),
+            "vs_baseline": round(fps / v100_bound, 3),
+            "baseline_is_flop_bound": True,
+        }
+    else:
+        extra = {"vs_baseline": round(fps / 4.0, 3), "baseline_is_estimate": True}
     print(
         json.dumps(
             {
                 "metric": "interp_frames_per_sec_720p_8x",
                 "value": round(fps, 3),
                 "unit": "frames/sec",
-                # baseline is a documented ESTIMATE of the torch reference on
-                # V100 (no published fps exists); see module docstring
-                "vs_baseline": round(fps / V100_REFERENCE_FPS_720P_8X, 3),
-                "baseline_is_estimate": True,
+                **extra,
             }
         )
     )
