@@ -223,10 +223,15 @@ def main():
         }
     else:
         extra = {"vs_baseline": round(fps / 4.0, 3), "baseline_is_estimate": True}
+    label = (
+        "interp_frames_per_sec_720p_8x"
+        if args.size == "736x1280" and not args.ds
+        else f"interp_frames_per_sec_{args.size}_ds{args.ds or 1}_8x"
+    )
     print(
         json.dumps(
             {
-                "metric": "interp_frames_per_sec_720p_8x",
+                "metric": label,
                 "value": round(fps, 3),
                 "unit": "frames/sec",
                 **extra,

@@ -64,21 +64,29 @@ class GIMMVFI_R(nn.Module):
         skip = f_dims[1] // 2  # 64
         dt = self.dtype
         self._setup_flow_estimator(f_dims)
-        self.amt_init_decoder = InitDecoder(f_dims[0], skip, dtype=dt)
-        self.amt_final_decoder = MultiFlowDecoder(
+        # nested remat (decoder-level here + block-level inside synthesis.py):
+        # the stage-2 recipe (224^2, batch 4) holds ~18 GB of full-res conv
+        # temps through the backward otherwise. Inference is unaffected.
+        init_cls = nn.remat(InitDecoder, static_argnums=(7,))
+        final_cls = nn.remat(MultiFlowDecoder, static_argnums=(9,))
+        self.amt_init_decoder = init_cls(f_dims[0], skip, dtype=dt)
+        self.amt_final_decoder = final_cls(
             f_dims[1], skip, self.num_flows, dtype=dt
         )
-        self.amt_update4_low = UpdateBlock(
+        upd_cls = nn.remat(UpdateBlock)
+        self.amt_update4_low = upd_cls(
             cdim=f_dims[0] // 2, scale_factor=2.0, dtype=dt
         )
-        self.amt_update4_high = UpdateBlock(
+        self.amt_update4_high = upd_cls(
             cdim=f_dims[0] // 2, scale_factor=None, dtype=dt
         )
         self.amt_comb_block = CombBlock(self.num_flows, dtype=dt)
 
-        self.cnn_encoder = MotionEncoder(dtype=dt)
-        self.res_conv = LatentRefiner(dtype=dt)
-        self.hyponet = HypoNet(
+        self.cnn_encoder = nn.remat(MotionEncoder)(dtype=dt)
+        self.res_conv = nn.remat(LatentRefiner)(dtype=dt)
+        # HypoNet remat: each of the three per-step INR decodes otherwise
+        # saves its full (B, H*W, 128) x 5-layer hidden chain for backward
+        self.hyponet = nn.remat(HypoNet)(
             n_layer=5,
             hidden_dim=128,
             input_dim=3,

@@ -20,6 +20,12 @@ from ..ops.interp import resize, warp
 
 Array = jax.Array
 
+# Rematerialized building blocks for the full-resolution decoder stacks:
+# the stage-2 training recipe (224^2, batch 4) keeps ~18 GB of conv temps
+# alive through the backward otherwise (OOM on a 16 GB v5e). Block-level
+# checkpoints bound live activations to one block's temps; inference is
+# unaffected (no cotangents -> XLA elides the checkpoint).
+
 
 class LateralBlock(nn.Module):
     """conv-lrelu-conv residual block (`fi_components.py:17-29`)."""
@@ -103,6 +109,10 @@ class UpsampleHead(nn.Module):
         return nn.relu(x)
 
 
+_ResBlockR = nn.remat(ResBlock)
+_UpsampleHeadR = nn.remat(UpsampleHead, static_argnums=(2,))
+
+
 class InitDecoder(nn.Module):
     """NewInitDecoder (`fi_components.py:229-276`): upsample 1/8 features to
     1/4, warp by the INR flows, refine through ResBlocks; emits corrected
@@ -114,7 +124,7 @@ class InitDecoder(nn.Module):
 
     @nn.compact
     def __call__(self, f0, f1, flow0_in, flow1_in, img0, img1, train: bool = False):
-        up = UpsampleHead(self.in_ch, 1, dtype=self.dtype, name="upsample")
+        up = _UpsampleHeadR(self.in_ch, 1, dtype=self.dtype, name="upsample")
         f0 = up(f0, train)
         f1 = up(f1, train)
 
@@ -134,9 +144,9 @@ class InitDecoder(nn.Module):
         c = self.in_ch // 2
         dt = self.dtype
         h = ConvPReLU(c, 1, 1, 0, dtype=dt, name="cb0")(f_in)
-        h = ResBlock(c, self.skip_ch, dtype=dt, name="cb1")(h)
-        h = ResBlock(c, self.skip_ch, dtype=dt, name="cb2")(h)
-        h = ResBlock(c, self.skip_ch, dtype=dt, name="cb3")(h)
+        h = _ResBlockR(c, self.skip_ch, dtype=dt, name="cb1")(h)
+        h = _ResBlockR(c, self.skip_ch, dtype=dt, name="cb2")(h)
+        h = _ResBlockR(c, self.skip_ch, dtype=dt, name="cb3")(h)
         out = Conv2d(c + 5, 3, 1, 1, dtype=dt, name="cb4")(h)
 
         ft_ = out[..., 4:]
@@ -213,7 +223,7 @@ class MultiFlowDecoder(nn.Module):
 
     @nn.compact
     def __call__(self, ft_, f0, f1, flow0, flow1, mask, img0, img1, train: bool = False):
-        up = UpsampleHead(self.in_ch, 2, dtype=self.dtype, name="upsample")
+        up = _UpsampleHeadR(self.in_ch, 2, dtype=self.dtype, name="upsample")
         f0 = up(f0, train)
         f1 = up(f1, train)
         n = self.num_flows
@@ -235,9 +245,9 @@ class MultiFlowDecoder(nn.Module):
         c = self.in_ch * 2
         dt = self.dtype
         h = ConvPReLU(c, dtype=dt, name="cb0")(f_in)
-        h = ResBlock(c, self.skip_ch, dtype=dt, name="cb1")(h)
-        h = ResBlock(c, self.skip_ch, dtype=dt, name="cb2")(h)
-        h = ResBlock(c, self.skip_ch, dtype=dt, name="cb3")(h)
+        h = _ResBlockR(c, self.skip_ch, dtype=dt, name="cb1")(h)
+        h = _ResBlockR(c, self.skip_ch, dtype=dt, name="cb2")(h)
+        h = _ResBlockR(c, self.skip_ch, dtype=dt, name="cb3")(h)
         out = Conv2d(8 * n, 3, 1, 1, dtype=dt, name="cb4")(h).astype(jnp.float32)
 
         d_flow0, d_flow1, d_mask, img_res = jnp.split(
