@@ -90,9 +90,10 @@ def main():
     from gimmvfi_tpu.models.gimmvfi_r import GIMMVFI_R
     from gimmvfi_tpu.utils.convert import convert_gimmvfi_r
 
-    variables = convert_gimmvfi_r(
+    params, stats = convert_gimmvfi_r(
         {k: v for k, v in ref_model.state_dict().items()}
     )
+    variables = {"params": params, "batch_stats": stats}
     model = GIMMVFI_R(raft_iters=args.iters)
     img_xs = jnp.asarray(np.stack([i0, i1])[None])  # (1, 2, H, W, 3)
     ours = jax.jit(
