@@ -67,8 +67,8 @@ class GIMMVFI_R(nn.Module):
         # nested remat (decoder-level here + block-level inside synthesis.py):
         # the stage-2 recipe (224^2, batch 4) holds ~18 GB of full-res conv
         # temps through the backward otherwise. Inference is unaffected.
-        init_cls = nn.remat(InitDecoder, static_argnums=(7,))
-        final_cls = nn.remat(MultiFlowDecoder, static_argnums=(9,))
+        init_cls = nn.remat(InitDecoder, static_argnums=(7, 8))
+        final_cls = nn.remat(MultiFlowDecoder, static_argnums=(9, 10))
         self.amt_init_decoder = init_cls(f_dims[0], skip, dtype=dt)
         self.amt_final_decoder = final_cls(
             f_dims[1], skip, self.num_flows, dtype=dt
@@ -200,6 +200,35 @@ class GIMMVFI_R(nn.Module):
         flow = jnp.concatenate([flow0, flow1], axis=-1)
         return corr, flow
 
+    def _upsample_synth_features(self, features0, features1, train: bool = False):
+        """Run the decoders' t-invariant UpsampleHeads once per frame pair.
+
+        The heads only see the frozen encoder features — never the flows —
+        so their full-/quarter-res outputs are identical for every timestep
+        and belong in `prepare` (the reference recomputes them per call,
+        `fi_components.py:255-257,307-309`; at 8x that is 7x wasted work).
+        At inference both directions batch through one call; in training the
+        reference's two separate calls are kept so BatchNorm batch statistics
+        match per direction.
+        """
+        def up8(f):
+            return self.amt_init_decoder(f, None, None, None, None, None, train, True)
+
+        def up4(f):
+            return self.amt_final_decoder(
+                f, None, None, None, None, None, None, None, train, True
+            )
+
+        if train:
+            return (
+                (up8(features0[-1]), up8(features1[-1])),
+                (up4(features0[0]), up4(features1[0])),
+            )
+        n = features0[0].shape[0]
+        u8 = up8(jnp.concatenate([features0[-1], features1[-1]], axis=0))
+        u4 = up4(jnp.concatenate([features0[0], features1[0]], axis=0))
+        return (u8[:n], u8[n:]), (u4[:n], u4[n:])
+
     def warp_w_mask(self, img0, img1, ft0, ft1, mask, scale=1):
         """Masked dual warp for the aux prediction (`gimmvfi_r.py:213-220`)."""
         ft0 = scale * resize(ft0, scale)
@@ -211,8 +240,8 @@ class GIMMVFI_R(nn.Module):
         self,
         img_xs: Array,
         flow_t: Array,
-        features0,
-        features1,
+        f8_up,
+        f4_up,
         corr_pyrs,
         cur_t: Array,
         full_img: Optional[Array] = None,
@@ -221,7 +250,9 @@ class GIMMVFI_R(nn.Module):
         """AMT coarse-to-fine synthesis (`gimmvfi_r.py:222-322`).
 
         img_xs: (N, 2, H, W, 3) working-res frames in [0,1]; flow_t:
-        (N, H, W, 2) INR flow at t; cur_t: (N, 1, 1, 1).
+        (N, H, W, 2) INR flow at t; cur_t: (N, 1, 1, 1); f8_up/f4_up:
+        per-direction feature pairs already run through the decoders'
+        t-invariant UpsampleHeads (`_upsample_synth_features`).
         """
         img0 = 2.0 * img_xs[:, 0] - 1.0
         img1 = 2.0 * img_xs[:, 1] - 1.0
@@ -236,7 +267,7 @@ class GIMMVFI_R(nn.Module):
 
         # ---- scale 1/4
         flowt0_4, flowt1_4, ft_4_ = self.amt_init_decoder(
-            features0[-1], features1[-1], flow_t0_4, flow_t1_4, img0, img1, train
+            f8_up[0], f8_up[1], flow_t0_4, flow_t1_4, img0, img1, train, False
         )
         mask_4_, ft_4_ = ft_4_[..., :1], ft_4_[..., 1:]
         img_warp_4 = self.warp_w_mask(img0, img1, flowt0_4, flowt1_4, mask_4_, scale=4)
@@ -259,8 +290,8 @@ class GIMMVFI_R(nn.Module):
 
         # ---- scale 1/1
         flowt0_1, flowt1_1, mask, img_res = self.amt_final_decoder(
-            ft_4_, features0[0], features1[0], flowt0_4, flowt1_4, mask_4_,
-            img0, img1, train,
+            ft_4_, f4_up[0], f4_up[1], flowt0_4, flowt1_4, mask_4_,
+            img0, img1, train, False,
         )
 
         if full_img is not None:
@@ -314,14 +345,15 @@ class GIMMVFI_R(nn.Module):
         w1, w2 = splatting_weights(flow01, flow10, self.alpha_v, self.alpha_fe)
         latent0 = self.cnn_encoder(nflows[:, 0])
         latent1 = self.cnn_encoder(nflows[:, 1])
+        f8_up, f4_up = self._upsample_synth_features(features0, features1, train)
         return {
             "img_xs": img_xs,
             "full_img": full_img,
             "nflows": nflows,
             "flows": flows,
             "scalers": scalers,
-            "features0": features0,
-            "features1": features1,
+            "f8_up": f8_up,
+            "f4_up": f4_up,
             "corr_pyrs": corr_pyrs,
             "flow01": flow01,
             "flow10": flow10,
@@ -357,8 +389,8 @@ class GIMMVFI_R(nn.Module):
         out = self.frame_synthesize(
             img_xs,
             flow_t,
-            prep["features0"],
-            prep["features1"],
+            prep["f8_up"],
+            prep["f4_up"],
             prep["corr_pyrs"],
             t.reshape(n, 1, 1, 1),
             full_img=prep["full_img"],
@@ -427,11 +459,12 @@ class GIMMVFI_R(nn.Module):
         inr_t = self.predict_flow(nflows, flows, t, coord_t)
 
         flow_t = unnormalize_flow(inr_t, scalers.reshape(n, 1, 1, 1, 1))[:, 0]
+        f8_up, f4_up = self._upsample_synth_features(features0, features1, train)
         out = self.frame_synthesize(
             img_xs,
             flow_t,
-            features0,
-            features1,
+            f8_up,
+            f4_up,
             corr_pyrs,
             t.reshape(n, 1, 1, 1),
             train=train,

@@ -123,10 +123,24 @@ class InitDecoder(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, f0, f1, flow0_in, flow1_in, img0, img1, train: bool = False):
+    def __call__(
+        self,
+        f0,
+        f1,
+        flow0_in=None,
+        flow1_in=None,
+        img0=None,
+        img1=None,
+        train: bool = False,
+        upsample_only: bool = False,
+    ):
         up = _UpsampleHeadR(self.in_ch, 1, dtype=self.dtype, name="upsample")
-        f0 = up(f0, train)
-        f1 = up(f1, train)
+        if upsample_only:
+            # t-invariant feature upsampling, hoisted into `prepare` so the
+            # per-timestep decode doesn't recompute it (same math: the head
+            # only sees the frozen features, never the flows)
+            return up(f0, train)
+        # f0/f1 arrive pre-upsampled (from the upsample_only stage)
 
         scale = f0.shape[1] / img0.shape[1]
         img0 = resize(img0, scale)
@@ -222,10 +236,25 @@ class MultiFlowDecoder(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, ft_, f0, f1, flow0, flow1, mask, img0, img1, train: bool = False):
+    def __call__(
+        self,
+        ft_,
+        f0=None,
+        f1=None,
+        flow0=None,
+        flow1=None,
+        mask=None,
+        img0=None,
+        img1=None,
+        train: bool = False,
+        upsample_only: bool = False,
+    ):
         up = _UpsampleHeadR(self.in_ch, 2, dtype=self.dtype, name="upsample")
-        f0 = up(f0, train)
-        f1 = up(f1, train)
+        if upsample_only:
+            # t-invariant feature upsampling, hoisted into `prepare` (the
+            # feature slot is `ft_` in this stage; see InitDecoder)
+            return up(ft_, train)
+        # f0/f1 arrive pre-upsampled (from the upsample_only stage)
         n = self.num_flows
 
         flow0 = 4.0 * resize(flow0, 4.0)

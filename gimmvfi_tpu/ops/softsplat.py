@@ -42,20 +42,23 @@ def _splat_core(ten_in: Array, flow: Array) -> Array:
     f32 rounding.
     """
     n, h, w, _ = ten_in.shape
-    if _use_pallas(n, h, w):
-        return _splat_core_pallas(ten_in, flow)
-    return _splat_core_xla(ten_in, flow)
+    if not _pallas_size_ok(n, h, w):
+        return _splat_core_xla(ten_in, flow)
+    # Platform must be resolved at LOWERING time, not from the default
+    # backend: under axon the TPU plugin force-registers itself even when
+    # JAX_PLATFORMS=cpu, so jax.devices()[0].platform says "tpu" while the
+    # driver's multichip dryrun compiles for explicit CPU devices (and
+    # pallas_call has no CPU lowering). platform_dependent picks the branch
+    # per compilation target; axon lowers as "tpu".
+    return jax.lax.platform_dependent(
+        ten_in, flow, tpu=_splat_core_pallas, default=_splat_core_xla
+    )
 
 
-def _use_pallas(n: int, h: int, w: int) -> bool:
+def _pallas_size_ok(n: int, h: int, w: int) -> bool:
     total = n * (h * w + 2 * (w + 1))
-    if h * w < 4096 or total >= (1 << 24):
-        return False  # tiny inputs / key-exactness bound (f32 key channel)
-    try:
-        platform = jax.devices()[0].platform
-    except Exception:
-        return False
-    return platform in ("tpu", "axon")
+    # tiny inputs / key-exactness bound (f32 key channel)
+    return h * w >= 4096 and total < (1 << 24)
 
 
 def _geometry(flow: Array, h: int, w: int):

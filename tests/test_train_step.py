@@ -170,7 +170,8 @@ def test_loader_determinism(rng):
         def __len__(self):
             return len(self.meta_data)
 
-        def __getitem__(self, i):
+        def __getitem__(self, args):
+            i, _rng = args  # loader protocol: dataset[(index, per-sample rng)]
             return {"x": np.full((2,), self.meta_data[i], np.float32)}
 
     def epoch_ids(seed, epoch):

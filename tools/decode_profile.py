@@ -76,7 +76,7 @@ def main():
         t = jnp.broadcast_to(tv.reshape(-1), (1,))
         return model.apply(
             v,
-            prep["img_xs"], flow_t, prep["features0"], prep["features1"],
+            prep["img_xs"], flow_t, prep["f8_up"], prep["f4_up"],
             prep["corr_pyrs"], t.reshape(1, 1, 1, 1),
             method=lambda m, *a: m.frame_synthesize(*a),
         )["imgt_pred"]

@@ -50,14 +50,38 @@ def main():
     mask4 = jax.random.normal(key, (1, h // 4, w // 4, 1), jnp.float32)
     corr4 = jax.random.normal(key, (1, h // 8, w // 8, 648), dt)
 
+    def up8(v, f):
+        return model.apply(
+            v, f,
+            method=lambda m, a: m.amt_init_decoder(
+                a, None, None, None, None, None, False, True
+            ),
+        )
+
+    timed(up8, variables, jnp.concatenate([f18_256, f18_256], 0),
+          name="InitDecoder UpsampleHead (t-invariant, in prepare)")
+    f8u = jax.jit(up8)(variables, f18_256)
+
+    def up4(v, f):
+        return model.apply(
+            v, f,
+            method=lambda m, a: m.amt_final_decoder(
+                a, None, None, None, None, None, None, None, False, True
+            ),
+        )
+
+    timed(up4, variables, jnp.concatenate([f14_128, f14_128], 0),
+          name="MultiFlowDecoder UpsampleHead (t-invariant, in prepare)")
+    f4u = jax.jit(up4)(variables, f14_128)
+
     def initdec(v, f0, f1, fl0, fl1, i0, i1):
         return model.apply(
             v, f0, f1, fl0, fl1, i0, i1,
-            method=lambda m, *a: m.amt_init_decoder(*a),
+            method=lambda m, *a: m.amt_init_decoder(*a, False, False),
         )
 
     fl8 = resize(flow_4, 0.5) * 0.5
-    timed(initdec, variables, f18_256, f18_256, flow_4, flow_4, img0, img1,
+    timed(initdec, variables, f8u, f8u, flow_4, flow_4, img0, img1,
           name="InitDecoder (1/8->1/4, warps, 3 ResBlocks@128)")
 
     def corr_lookup_stage(v, fl0, fl1):
@@ -98,10 +122,10 @@ def main():
     def mfd(v, ft, f0, f1, fl0, fl1, m4, i0, i1):
         return model.apply(
             v, ft, f0, f1, fl0, fl1, m4, i0, i1,
-            method=lambda m, *a: m.amt_final_decoder(*a),
+            method=lambda m, *a: m.amt_final_decoder(*a, False, False),
         )
 
-    timed(mfd, variables, ft4, f14_128, f14_128, flow_4, flow_4, mask4,
+    timed(mfd, variables, ft4, f4u, f4u, flow_4, flow_4, mask4,
           img0, img1, name="MultiFlowDecoder (1/4->1/1, 3 ResBlocks@256)")
 
     flow1 = jax.random.normal(key, (1, h, w, 6), jnp.float32) * 4
