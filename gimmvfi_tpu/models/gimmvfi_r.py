@@ -230,7 +230,15 @@ class GIMMVFI_R(nn.Module):
         return (u8[:n], u8[n:]), (u4[:n], u4[n:])
 
     def warp_w_mask(self, img0, img1, ft0, ft1, mask, scale=1):
-        """Masked dual warp for the aux prediction (`gimmvfi_r.py:213-220`)."""
+        """Masked dual warp for the aux prediction (`gimmvfi_r.py:213-220`).
+
+        In mixed-precision mode the image payload is gathered as bf16 (the
+        packed-quad fast path in ops/interp.py, ~2x); the mask blend stays
+        f32. The f32 parity path is untouched.
+        """
+        if self.dtype is not None:
+            img0 = img0.astype(self.dtype)
+            img1 = img1.astype(self.dtype)
         ft0 = scale * resize(ft0, scale)
         ft1 = scale * resize(ft1, scale)
         mask = jax.nn.sigmoid(resize(mask, scale))

@@ -315,9 +315,16 @@ def multi_flow_combine(
 
     img0/img1: (N, H, W, 3) in [-1, 1]; flow0/flow1: (N, H, W, 2*K);
     mask: (N, H, W, K); img_res: (N, H, W, 3*K). Output in [0, 1].
+
+    In mixed-precision mode (comb_block.dtype set) the 2K full-res image
+    warps gather bf16 payload — the packed-quad fast path in ops/interp.py
+    (~2.6x on the dominant gather cost); mask/residual blending stays f32.
     """
     n, h, w, ck = flow0.shape
     k = ck // 2
+    if comb_block.dtype is not None:
+        img0 = img0.astype(comb_block.dtype)
+        img1 = img1.astype(comb_block.dtype)
 
     def regroup(x, c):
         # (N, H, W, K*c) -> (N*K, H, W, c) keeping torch's (b, k) flattening

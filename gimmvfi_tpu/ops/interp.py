@@ -79,7 +79,28 @@ def quad_gather(img: Array, ix0: Array, iy0: Array, padding_mode: str) -> Array:
         ],
         axis=-1,
     )  # (N, m, 4C); channel block k = corner (dy, dx) = (k // 2, k % 2)
-    vals = jnp.take_along_axis(quad, base[..., None], axis=1)  # (N, P, 4C)
+
+    # XLA's TPU row-gather fast path (~10 ns/row, measured
+    # tools/gather_cost_probe.py) only engages for rows <= 8 lanes; the
+    # 4C-lane quad row falls off it at C >= 3 (26 ns). Two lane-exact
+    # rescues, both bit-identical to the plain take below:
+    #   * bf16 payload, C <= 4: bitcast bf16 pairs into f32 lanes so the
+    #     whole quad row is 2C <= 8 f32 lanes -> ONE fast-path gather
+    #     (11 ns/px for the 3-ch image warps, 2.3x).
+    #   * f32 payload, C in (3, 4): two gathers of 2C <= 8 lane rows
+    #     (horizontal corner pairs at +0 / +w3), ~21 vs 26 ns/px.
+    if img.dtype == jnp.bfloat16 and c <= 4:
+        packed = jax.lax.bitcast_convert_type(
+            quad.reshape(n, m, 2 * c, 2), jnp.float32
+        )  # (N, m, 2C) f32 lanes carrying bf16 pairs
+        got = jnp.take_along_axis(packed, base[..., None], axis=1)
+        vals = jax.lax.bitcast_convert_type(got, jnp.bfloat16)
+    elif img.dtype == jnp.float32 and 2 < c <= 4:
+        top = jnp.take_along_axis(quad[..., : 2 * c], base[..., None], axis=1)
+        bot = jnp.take_along_axis(quad[..., 2 * c :], base[..., None], axis=1)
+        vals = jnp.concatenate([top, bot], axis=-1)
+    else:
+        vals = jnp.take_along_axis(quad, base[..., None], axis=1)  # (N, P, 4C)
     return vals.reshape(n, base.shape[1], 4, c)
 
 

@@ -141,3 +141,26 @@ def test_normalize_unnormalize_roundtrip(rng):
     assert np.asarray(nf).max() <= 1.0 + 1e-6 and np.asarray(nf).min() >= -1e-6
     rt = ops.unnormalize_flow(nf, sc)
     np.testing.assert_allclose(np.asarray(rt), flows, atol=1e-4)
+
+
+@pytest.mark.parametrize("c,dtype", [(3, "bfloat16"), (4, "bfloat16"), (3, "float32"), (4, "float32")])
+def test_quad_gather_fast_paths_bit_exact(rng, c, dtype):
+    """The packed-bf16 / f32-pair-row gather rescues (ops/interp.py) must be
+    bit-identical to the generic 4C-lane take path (which C>=5 still uses):
+    they move the same bits, only in differently shaped rows."""
+    from gimmvfi_tpu.ops.interp import quad_gather
+
+    img = rng.standard_normal((2, 9, 13, c), dtype=np.float32)
+    imgx = jnp.asarray(img).astype(dtype)
+    # wide twin: extra channels force the generic path; slice back after
+    wide = jnp.concatenate([imgx] * 3, axis=-1)[..., : c + 2 * c]
+    ix0 = jnp.asarray(rng.integers(-3, 16, (2, 40)), jnp.int32)
+    iy0 = jnp.asarray(rng.integers(-3, 12, (2, 40)), jnp.int32)
+
+    for mode in ("border", "zeros"):
+        fast = quad_gather(imgx, ix0, iy0, mode)
+        generic = quad_gather(wide, ix0, iy0, mode)[..., :c]
+        np.testing.assert_array_equal(
+            np.asarray(fast.astype(jnp.float32)),
+            np.asarray(generic.astype(jnp.float32)),
+        )
