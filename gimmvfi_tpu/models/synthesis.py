@@ -17,6 +17,7 @@ import jax.numpy as jnp
 
 from ..nn.layers import Conv2d, PReLU, leaky_relu, pixel_shuffle
 from ..ops.interp import resize, warp
+from ..ops.strips import from_strips, strip_worthwhile, to_strips
 
 Array = jax.Array
 
@@ -273,11 +274,21 @@ class MultiFlowDecoder(nn.Module):
 
         c = self.in_ch * 2
         dt = self.dtype
+        # vertical-strip space-to-batch (ops/strips.py): XLA's conv runs
+        # ~2x faster at batch >= 8; one 17-column halo covers the whole
+        # 17-deep 3x3 stack (cb0 + 3x5 ResBlock convs + cb4) EXACTLY
+        halo = 17
+        w_full = f_in.shape[2]
+        use_strips = w_full % 8 == 0 and strip_worthwhile(w_full, 8, halo)
+        if use_strips:
+            f_in = to_strips(f_in, halo)
         h = ConvPReLU(c, dtype=dt, name="cb0")(f_in)
         h = _ResBlockR(c, self.skip_ch, dtype=dt, name="cb1")(h)
         h = _ResBlockR(c, self.skip_ch, dtype=dt, name="cb2")(h)
         h = _ResBlockR(c, self.skip_ch, dtype=dt, name="cb3")(h)
         out = Conv2d(8 * n, 3, 1, 1, dtype=dt, name="cb4")(h).astype(jnp.float32)
+        if use_strips:
+            out = from_strips(out, halo)
 
         d_flow0, d_flow1, d_mask, img_res = jnp.split(
             out, [2 * n, 4 * n, 5 * n], axis=-1
