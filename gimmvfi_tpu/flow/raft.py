@@ -212,9 +212,15 @@ class _RefineStep(nn.Module):
     def __call__(self, carry, _):
         net, coords1, _old_mask, inp, coords0, pyramid = carry
         coords1 = jax.lax.stop_gradient(coords1)
-        corr = corr_ops.corr_lookup(
-            corr_ops.CorrPyramid(pyramid), coords1, self.corr_radius
+        # pyramid rides the carry as either a levels tuple (materialized) or
+        # a WindowedCorr (memory-efficient path at high resolution); the
+        # dispatch is static — jit traces exactly one branch
+        pyr = (
+            pyramid
+            if isinstance(pyramid, corr_ops.WindowedCorr)
+            else corr_ops.CorrPyramid(pyramid)
         )
+        corr = corr_ops.corr_lookup_any(pyr, coords1, self.corr_radius)
         flow = coords1 - coords0
         net, up_mask, delta_flow = BasicUpdateBlock(
             self.hidden_dim, dtype=self.dtype, name="update_block"
@@ -240,6 +246,11 @@ class RAFT(nn.Module):
     iters: int = 20
     corr_levels: int = 4
     corr_radius: int = 4
+    # above this, the all-pairs volume is not materialized: lookups sample
+    # pooled target features on the fly (alt_cuda_corr equivalent,
+    # ops/corr.py windowed_corr_lookup). 2 GiB keeps every documented
+    # operating point (720p..2K DS 0.5) on the faster materialized path
+    corr_max_volume_bytes: int = 2 << 30
     dtype: Any = None
 
     @nn.compact
@@ -262,21 +273,46 @@ class RAFT(nn.Module):
         fdt = jnp.float32 if dt is None else dt
         fmap1, fmap2 = fmaps[:n].astype(fdt), fmaps[n:].astype(fdt)
 
+        h2, w2 = fmap2.shape[1:3]
+        vol_bytes = (
+            n * (fmap1.shape[1] * fmap1.shape[2]) * h2 * w2
+            * jnp.dtype(fdt).itemsize * 4 // 3
+        ) * (2 if bidir else 1)
+        windowed = vol_bytes > self.corr_max_volume_bytes
+
         if bidir:
-            # forward + transposed volume from ONE all-pairs matmul
-            pyr_fwd, pyr_bwd = corr_ops.bidir_corr_pyramid(
-                fmap1, fmap2, self.corr_levels
-            )
-            levels = tuple(
-                jnp.concatenate([f, b], axis=0)
-                for f, b in zip(pyr_fwd.levels, pyr_bwd.levels)
-            )
+            if windowed:
+                wc_f, wc_b = corr_ops.bidir_windowed_corr_pyramid(
+                    fmap1, fmap2, self.corr_levels
+                )
+                levels = corr_ops.WindowedCorr(
+                    jnp.concatenate([wc_f.f1, wc_b.f1], axis=0),
+                    tuple(
+                        jnp.concatenate([f, b], axis=0)
+                        for f, b in zip(wc_f.f2_levels, wc_b.f2_levels)
+                    ),
+                    wc_f.shape_hw,
+                )
+            else:
+                # forward + transposed volume from ONE all-pairs matmul
+                pyr_fwd, pyr_bwd = corr_ops.bidir_corr_pyramid(
+                    fmap1, fmap2, self.corr_levels
+                )
+                levels = tuple(
+                    jnp.concatenate([f, b], axis=0)
+                    for f, b in zip(pyr_fwd.levels, pyr_bwd.levels)
+                )
             cnet_in = jnp.concatenate([image1, image2], 0)
             nb = 2 * n
         else:
-            levels = tuple(
-                corr_ops.corr_pyramid(fmap1, fmap2, self.corr_levels).levels
-            )
+            if windowed:
+                levels = corr_ops.windowed_corr_pyramid(
+                    fmap1, fmap2, self.corr_levels
+                )
+            else:
+                levels = tuple(
+                    corr_ops.corr_pyramid(fmap1, fmap2, self.corr_levels).levels
+                )
             cnet_in = image1
             nb = n
 

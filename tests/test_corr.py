@@ -2,6 +2,7 @@
 (torch transcription of raft/corr.py CorrBlock/BidirCorrBlock)."""
 
 import numpy as np
+import pytest
 import torch
 import torch.nn.functional as F
 
@@ -115,4 +116,43 @@ def test_bidir_corr_matches_two_torch_blocks(rng):
     )
     np.testing.assert_allclose(
         np.asarray(out1), ref1.numpy().transpose(0, 2, 3, 1), atol=1e-4
+    )
+
+
+@pytest.mark.parametrize("radius,levels", [(4, 4), (3, 2), (1, 1)])
+def test_windowed_matches_materialized(rng, radius, levels):
+    """The lazy / memory-efficient lookup (alt_cuda_corr equivalent,
+    reference correlation_kernel.cu:18-119) must equal the materialized
+    pyramid lookup: pooling and window sampling are linear in the volume,
+    which is linear in fmap2."""
+    n, h, w, c = 2, 12, 17, 32
+    f1 = rng.standard_normal((n, h, w, c), dtype=np.float32)
+    f2 = rng.standard_normal((n, h, w, c), dtype=np.float32)
+    # coords spanning in-bounds, sub-pixel, and far out-of-bounds
+    coords = (rng.random((n, h, w, 2)) * (w + 14) - 7).astype(np.float32)
+
+    pyr = corr_ops.corr_pyramid(jnp.asarray(f1), jnp.asarray(f2), levels)
+    ref = corr_ops.corr_lookup(pyr, jnp.asarray(coords), radius)
+
+    wc = corr_ops.windowed_corr_pyramid(jnp.asarray(f1), jnp.asarray(f2), levels)
+    got = corr_ops.windowed_corr_lookup(wc, jnp.asarray(coords), radius)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_corr_pyramid_auto_dispatch(rng):
+    """Static volume-size gate: small -> materialized, tiny cap -> windowed;
+    lookups agree through the dispatcher."""
+    n, h, w, c = 1, 10, 11, 16
+    f1 = jnp.asarray(rng.standard_normal((n, h, w, c), dtype=np.float32))
+    f2 = jnp.asarray(rng.standard_normal((n, h, w, c), dtype=np.float32))
+    coords = jnp.asarray((rng.random((n, h, w, 2)) * w).astype(np.float32))
+
+    small = corr_ops.corr_pyramid_auto(f1, f2)
+    assert isinstance(small, corr_ops.CorrPyramid)
+    capped = corr_ops.corr_pyramid_auto(f1, f2, max_volume_bytes=1024)
+    assert isinstance(capped, corr_ops.WindowedCorr)
+    np.testing.assert_allclose(
+        np.asarray(corr_ops.corr_lookup_any(capped, coords)),
+        np.asarray(corr_ops.corr_lookup_any(small, coords)),
+        atol=2e-5,
     )

@@ -72,3 +72,32 @@ def test_raft_forward_parity(ref_raft, rng):
     np.testing.assert_allclose(
         np.asarray(flow), flow_ref.numpy().transpose(0, 2, 3, 1), atol=5e-3, rtol=1e-2
     )
+
+
+def test_raft_windowed_corr_matches_materialized(rng):
+    """Forcing the memory-efficient windowed-correlation path (tiny
+    corr_max_volume_bytes) must reproduce the materialized-volume flow."""
+    import jax
+    import jax.numpy as jnp
+
+    from gimmvfi_tpu.flow.raft import RAFT
+
+    imgs = (rng.random((1, 64, 96, 3)) * 255).astype(np.float32)
+    imgs2 = (rng.random((1, 64, 96, 3)) * 255).astype(np.float32)
+    i1, i2 = jnp.asarray(imgs), jnp.asarray(imgs2)
+
+    base = RAFT(iters=4)
+    variables = jax.jit(lambda a, b: base.init(jax.random.PRNGKey(0), a, b))(i1, i2)
+
+    flow_ref, feats_ref, f1_ref = jax.jit(
+        lambda v, a, b: base.apply(v, a, b, bidir=True)
+    )(variables, i1, i2)
+
+    win = RAFT(iters=4, corr_max_volume_bytes=1)
+    flow_win, feats_win, f1_win = jax.jit(
+        lambda v, a, b: win.apply(v, a, b, bidir=True)
+    )(variables, i1, i2)
+
+    np.testing.assert_allclose(
+        np.asarray(flow_win), np.asarray(flow_ref), atol=5e-4
+    )
