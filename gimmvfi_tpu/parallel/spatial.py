@@ -32,16 +32,38 @@ def interpolate_spatial_sharded(
 ):
     """Nx interpolation with the W axis sharded over `axis`.
 
-    img_xs: (N, 2, H, W, 3) host or device array; W must divide the axis
-    size. Returns the same stacked dict as `interpolate_sequential`, with
-    outputs sharded the same way (device_get to materialize on host).
+    img_xs: (N, 2, H, W, 3) host or device array. W is padded (edge
+    replicate, the convention the eval padders use) up to a multiple of the
+    axis size and outputs are cropped back, so any width works. Returns the
+    same stacked dict as `interpolate_sequential`, with outputs sharded the
+    same way (device_get to materialize on host).
     """
+    import math
+
+    img_xs = jnp.asarray(img_xs)
+    w = img_xs.shape[3]
+    n_dev = mesh.shape[axis]
+    # pad to a multiple of lcm(axis, 8): shardable AND still a valid model
+    # width (the /8 feature pyramid)
+    mult = math.lcm(n_dev, 8)
+    w_pad = -(-w // mult) * mult - w
+    if w_pad:
+        img_xs = jnp.pad(
+            img_xs, [(0, 0), (0, 0), (0, 0), (0, w_pad), (0, 0)], mode="edge"
+        )
+
     x_sharding = NamedSharding(mesh, P(None, None, None, axis, None))
-    img_xs = jax.device_put(jnp.asarray(img_xs), x_sharding)
+    img_xs = jax.device_put(img_xs, x_sharding)
     variables = replicate(mesh, variables)
 
     fn = jax.jit(
         lambda v, x, ts: interpolate_sequential(model, v, x, ts, ds_factor)
     )
     with mesh:
-        return fn(variables, img_xs, jnp.asarray(t_values, jnp.float32))
+        out = fn(variables, img_xs, jnp.asarray(t_values, jnp.float32))
+    if w_pad:
+        out = {
+            k: (v[..., :w, :] if v.ndim >= 2 and v.shape[-2] == w + w_pad else v)
+            for k, v in out.items()
+        }
+    return out
