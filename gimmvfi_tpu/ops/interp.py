@@ -20,7 +20,6 @@ All functions are channels-last (NHWC) and pure, so they fuse under jit.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
@@ -238,51 +237,37 @@ def _resize_axis_weights(
     return i0, i1, w1
 
 
-def _upsample_axis_int(x: Array, s: int, axis: int) -> Array:
-    """Integer-factor bilinear upsample along `axis`, align_corners=False.
+def _axis_tent_matrix(
+    in_size: int, out_size: int, align_corners: bool, scale: float | None
+):
+    """(in_size, out_size) f32 numpy tent matrix: column o holds the two
+    bilinear tap weights of output position o (numpy mirror of
+    `_resize_axis_weights`, same clamping)."""
+    import numpy as np
 
-    Torch half-pixel src positions are PHASE-PERIODIC for integer factors:
-    out[s*i + p] = (1-w_p) * x[i + b_p] + w_p * x[i + b_p + 1] with
-    b_p = floor((p+0.5)/s - 0.5) in {-1, 0} and fixed w_p — so the whole
-    resize is s static slice-blends + an interleave, all fusible elementwise,
-    instead of the gathers general indexing lowers to (22 ms -> ~2 ms for the
-    648-ch corr upsample at 720p). Edge clamping (torch max(src, 0) and
-    i1 = min(i0+1, n-1)) falls out of 1-px edge padding.
-    """
-    h = x.shape[axis]
-    xm = jnp.concatenate(
-        [
-            jax.lax.slice_in_dim(x, 0, 1, axis=axis),
-            x,
-            jax.lax.slice_in_dim(x, h - 1, h, axis=axis),
-        ],
-        axis=axis,
-    )
-    outs = []
-    for p in range(s):
-        off = (p + 0.5) / s - 0.5
-        b = math.floor(off)
-        wp = off - b
-        lo = jax.lax.slice_in_dim(xm, b + 1, b + 1 + h, axis=axis)
-        hi = jax.lax.slice_in_dim(xm, b + 2, b + 2 + h, axis=axis)
-        outs.append(lo * (1.0 - wp) + hi * wp)
-    y = jnp.stack(outs, axis=axis + 1)  # (..., h, s, ...)
-    return y.reshape(y.shape[: axis] + (h * s,) + y.shape[axis + 2 :])
+    if align_corners and out_size > 1:
+        src = np.arange(out_size, dtype=np.float64) * (
+            (in_size - 1) / (out_size - 1)
+        )
+    elif align_corners:
+        src = np.zeros((out_size,), dtype=np.float64)
+    else:
+        s = in_size / out_size if scale is None else scale
+        src = (np.arange(out_size, dtype=np.float64) + 0.5) * s - 0.5
+    src = np.maximum(src.astype(np.float32), 0.0)
+    i0 = np.minimum(np.floor(src).astype(np.int64), in_size - 1)
+    i1 = np.minimum(i0 + 1, in_size - 1)
+    w1 = src - i0.astype(np.float32)
+    m = np.zeros((in_size, out_size), np.float32)
+    o = np.arange(out_size)
+    np.add.at(m, (i0, o), 1.0 - w1)
+    np.add.at(m, (i1, o), w1)
+    return m
 
 
-def _downsample_axis_int(x: Array, k: int, out: int, axis: int) -> Array:
-    """Integer-factor bilinear downsample along `axis`, align_corners=False.
-
-    src = (o+0.5)*k - 0.5 = k*o + (k-1)/2: odd k hits pixels exactly (pure
-    stride); even k is the 0.5/0.5 blend of two strided slices.
-    """
-    if k % 2 == 1:
-        st = (k - 1) // 2
-        return jax.lax.slice_in_dim(x, st, st + (out - 1) * k + 1, stride=k, axis=axis)
-    st = k // 2 - 1
-    a = jax.lax.slice_in_dim(x, st, st + (out - 1) * k + 1, stride=k, axis=axis)
-    b = jax.lax.slice_in_dim(x, st + 1, st + 1 + (out - 1) * k + 1, stride=k, axis=axis)
-    return 0.5 * a + 0.5 * b
+# above this in*out product the tent matrix gets large; fall back to the
+# gather formulation (never reached by the model's own resizes)
+_TENT_MATMUL_MAX = 32 << 20
 
 
 def resize_bilinear(
@@ -295,7 +280,15 @@ def resize_bilinear(
 
     img: (N, H, W, C) -> (N, out_h, out_w, C). No antialiasing (torch
     semantics). align_corners picks the torch coordinate convention.
-    Integer up/down factors take a slice-based fast path (identical math).
+
+    TPU formulation: 1-D bilinear resampling is a tent-weight matrix
+    contraction, so each axis is one einsum against a trace-time-constant
+    (in, out) matrix — it runs on the MXU with standard tiled layouts.
+    The index-arithmetic alternatives (gathers, or slice-blend interleaves)
+    produce degenerate T(1,128) layouts that poison every downstream
+    concat/copy with relayout passes (traced: the 273-ch f_in concat alone
+    cost 27 ms at 720p). HIGHEST precision keeps true-f32 tent blending
+    (same values as the lerp formulation to fma rounding).
     """
     n, h, w, c = img.shape
     oh, ow = out_hw
@@ -304,32 +297,27 @@ def resize_bilinear(
     dtype = img.dtype
     x = img.astype(jnp.float32)
 
-    def axis_fast(x, in_size, out_size, axis):
-        """Slice-based path when the torch src-position pattern is periodic:
-        the factor is an exact integer and the effective scale equals
-        in/out (resize() passes scale=1/scale_factor, which matches
-        whenever sizes divide evenly)."""
-        if align_corners:
-            return None
-        if out_size % in_size == 0 and out_size > in_size:
-            s = out_size // in_size
-            if scale is None or abs(scale - in_size / out_size) < 1e-12:
-                return _upsample_axis_int(x, s, axis)
-        if in_size % out_size == 0 and in_size > out_size:
-            k = in_size // out_size
-            if scale is None or abs(scale - in_size / out_size) < 1e-12:
-                return _downsample_axis_int(x, k, out_size, axis)
-        return None
-
-    y = axis_fast(x, h, oh, 1)
-    if y is None:
-        i0, i1, wy = _resize_axis_weights(h, oh, align_corners, scale)
-        y = x[:, i0] * (1.0 - wy)[None, :, None, None] + x[:, i1] * wy[None, :, None, None]
-
-    x = axis_fast(y, w, ow, 2)
-    if x is None:
-        j0, j1, wx = _resize_axis_weights(w, ow, align_corners, scale)
-        x = y[:, :, j0] * (1.0 - wx)[None, None, :, None] + y[:, :, j1] * wx[None, None, :, None]
+    hi = jax.lax.Precision.HIGHEST
+    if oh != h:
+        if h * oh <= _TENT_MATMUL_MAX:
+            mh = jnp.asarray(_axis_tent_matrix(h, oh, align_corners, scale))
+            x = jnp.einsum("nhwc,hH->nHwc", x, mh, precision=hi)
+        else:
+            i0, i1, wy = _resize_axis_weights(h, oh, align_corners, scale)
+            x = (
+                x[:, i0] * (1.0 - wy)[None, :, None, None]
+                + x[:, i1] * wy[None, :, None, None]
+            )
+    if ow != w:
+        if w * ow <= _TENT_MATMUL_MAX:
+            mw = jnp.asarray(_axis_tent_matrix(w, ow, align_corners, scale))
+            x = jnp.einsum("nhwc,wW->nhWc", x, mw, precision=hi)
+        else:
+            j0, j1, wx = _resize_axis_weights(w, ow, align_corners, scale)
+            x = (
+                x[:, :, j0] * (1.0 - wx)[None, None, :, None]
+                + x[:, :, j1] * wx[None, None, :, None]
+            )
     return x.astype(dtype)
 
 
