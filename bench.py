@@ -46,12 +46,24 @@ def pipeline_flops(model, variables, img_xs, n_t, ds) -> float | None:
     (verified empirically), so the pipeline is decomposed into
     prepare + (raft_iters - 1) * refine_step + n_t * decode_one,
     each of which contains at most one counted copy of any loop body.
+
+    Counting uses the GATHER formulation of resize (reference-equivalent
+    arithmetic): the production tent-matmul resizes trade extra MXU FLOPs
+    for layout, work the reference's texture-gather kernels do for "free",
+    and counting them would understate the V100 bound and flatter
+    vs_baseline. The timed run still uses the fast path.
     """
     import numpy as np
 
     from gimmvfi_tpu.flow.raft import _RefineStep
     from gimmvfi_tpu.ops import corr as corr_ops
+    from gimmvfi_tpu.ops import interp as interp_ops
 
+    from gimmvfi_tpu.ops import strips as strips_ops
+
+    tent_max = interp_ops._TENT_MATMUL_MAX
+    interp_ops._TENT_MATMUL_MAX = -1  # gather-formulation resizes for counting
+    strips_ops.ENABLED = False  # no halo-duplicated conv work in the count
     try:
         prep_fn = jax.jit(
             lambda v, x: model.apply(v, x, ds, method=model.prepare)
@@ -97,6 +109,9 @@ def pipeline_flops(model, variables, img_xs, n_t, ds) -> float | None:
         return f_prep + (model.raft_iters - 1) * f_step + n_t * f_dec
     except Exception:
         return None
+    finally:
+        interp_ops._TENT_MATMUL_MAX = tent_max
+        strips_ops.ENABLED = True
 
 
 def _fetch(out):

@@ -48,7 +48,7 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 CHUNK = 256  # sorted entries processed per inner step
-S_ROWS = 2048  # destination rows owned by one window (multiple of 128)
+S_ROWS = 1024  # destination rows owned by one window (multiple of 128; swept on-chip, tools/scatter_sorted_bench.py)
 
 
 def _round_up(x: int, m: int) -> int:

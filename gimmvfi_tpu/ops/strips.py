@@ -32,11 +32,17 @@ def _starts(w: int, sw: int, bw: int, k: int) -> list[int]:
     return [min(max(i * sw - (bw - sw) // 2, 0), w - bw) for i in range(k)]
 
 
+# perf-only master switch: bench.py turns strips off when counting
+# reference-equivalent FLOPs (the halo duplicates ~20% of the conv work,
+# which the reference never does)
+ENABLED = True
+
+
 def strip_worthwhile(w: int, k: int, halo: int) -> bool:
     """Exactness and efficiency gate: strips divide W evenly, every strip is
     at least `halo` wide (interior windows stay in-bounds), and the halo
     overhead stays below 2x."""
-    if w % k != 0:
+    if not ENABLED or w % k != 0:
         return False
     sw = w // k
     return sw >= halo and sw + 2 * halo <= 2 * sw
