@@ -62,6 +62,7 @@ def pipeline_flops(model, variables, img_xs, n_t, ds) -> float | None:
     from gimmvfi_tpu.ops import strips as strips_ops
 
     tent_max = interp_ops._TENT_MATMUL_MAX
+    strips_enabled = strips_ops.ENABLED
     interp_ops._TENT_MATMUL_MAX = -1  # gather-formulation resizes for counting
     strips_ops.ENABLED = False  # no halo-duplicated conv work in the count
     try:
@@ -111,7 +112,7 @@ def pipeline_flops(model, variables, img_xs, n_t, ds) -> float | None:
         return None
     finally:
         interp_ops._TENT_MATMUL_MAX = tent_max
-        strips_ops.ENABLED = True
+        strips_ops.ENABLED = strips_enabled
 
 
 def _fetch(out):

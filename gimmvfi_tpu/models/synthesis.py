@@ -113,6 +113,14 @@ class UpsampleHead(nn.Module):
 _ResBlockR = nn.remat(ResBlock)
 _UpsampleHeadR = nn.remat(UpsampleHead, static_argnums=(2,))
 
+# 3x3-conv depth of the decoder main stacks, from the block structure (each
+# conv eats one halo column per side): ResBlock = conv1..conv5, the decoder
+# body = cb0 + 3 ResBlocks + cb4. The strip halo MUST equal this depth for
+# strip exactness — verified by the strips-vs-unsplit model-level test
+# (tests/test_strips.py::test_multiflow_decoder_strips_equivalence).
+_RESBLOCK_CONV_DEPTH = 5
+_DECODER_STACK_DEPTH = 1 + 3 * _RESBLOCK_CONV_DEPTH + 1  # 17
+
 
 class InitDecoder(nn.Module):
     """NewInitDecoder (`fi_components.py:229-276`): upsample 1/8 features to
@@ -275,9 +283,9 @@ class MultiFlowDecoder(nn.Module):
         c = self.in_ch * 2
         dt = self.dtype
         # vertical-strip space-to-batch (ops/strips.py): XLA's conv runs
-        # ~2x faster at batch >= 8; one 17-column halo covers the whole
-        # 17-deep 3x3 stack (cb0 + 3x5 ResBlock convs + cb4) EXACTLY
-        halo = 17
+        # ~2x faster at batch >= 8; one halo column per conv covers the
+        # whole 3x3 stack (cb0 + 3x5 ResBlock convs + cb4) EXACTLY
+        halo = _DECODER_STACK_DEPTH
         w_full = f_in.shape[2]
         use_strips = w_full % 8 == 0 and strip_worthwhile(w_full, 8, halo)
         if use_strips:

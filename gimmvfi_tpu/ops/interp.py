@@ -242,19 +242,22 @@ def _axis_tent_matrix(
 ):
     """(in_size, out_size) f32 numpy tent matrix: column o holds the two
     bilinear tap weights of output position o (numpy mirror of
-    `_resize_axis_weights`, same clamping)."""
+    `_resize_axis_weights` — identical f32 arithmetic, so both formulations
+    pick the same floor indices even at ULP boundaries)."""
     import numpy as np
 
     if align_corners and out_size > 1:
-        src = np.arange(out_size, dtype=np.float64) * (
+        src = np.arange(out_size, dtype=np.float32) * np.float32(
             (in_size - 1) / (out_size - 1)
         )
     elif align_corners:
-        src = np.zeros((out_size,), dtype=np.float64)
+        src = np.zeros((out_size,), dtype=np.float32)
     else:
         s = in_size / out_size if scale is None else scale
-        src = (np.arange(out_size, dtype=np.float64) + 0.5) * s - 0.5
-    src = np.maximum(src.astype(np.float32), 0.0)
+        src = (np.arange(out_size, dtype=np.float32) + np.float32(0.5)) * np.float32(
+            s
+        ) - np.float32(0.5)
+    src = np.maximum(src, np.float32(0.0))
     i0 = np.minimum(np.floor(src).astype(np.int64), in_size - 1)
     i1 = np.minimum(i0 + 1, in_size - 1)
     w1 = src - i0.astype(np.float32)

@@ -13,12 +13,23 @@ Works with any model exposing prepare/decode_one (GIMM-VFI-R and -F).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.gimmvfi_r import interpolate_sequential
 from .mesh import replicate
+
+
+@functools.lru_cache(maxsize=16)
+def _jitted_interp(model, ds_factor):
+    """One compiled fn per (model, ds) — a fresh jit wrapper per call would
+    re-trace every invocation (the video-loop footgun)."""
+    return jax.jit(
+        lambda v, x, ts: interpolate_sequential(model, v, x, ts, ds_factor)
+    )
 
 
 def interpolate_spatial_sharded(
@@ -56,14 +67,17 @@ def interpolate_spatial_sharded(
     img_xs = jax.device_put(img_xs, x_sharding)
     variables = replicate(mesh, variables)
 
-    fn = jax.jit(
-        lambda v, x, ts: interpolate_sequential(model, v, x, ts, ds_factor)
-    )
+    fn = _jitted_interp(model, ds_factor)
     with mesh:
         out = fn(variables, img_xs, jnp.asarray(t_values, jnp.float32))
     if w_pad:
+        # crop each output by its OWN width semantics, not a shape heuristic:
+        # imgt_pred is full-res (crop to w), flowt is working-res (crop to
+        # the valid prefix of the downscaled padded width)
+        ds = 1.0 if ds_factor is None else ds_factor
+        crops = {"imgt_pred": w, "flowt": int(w * ds)}
         out = {
-            k: (v[..., :w, :] if v.ndim >= 2 and v.shape[-2] == w + w_pad else v)
+            k: (v[..., : crops[k], :] if k in crops else v)
             for k, v in out.items()
         }
     return out

@@ -164,3 +164,27 @@ def test_quad_gather_fast_paths_bit_exact(rng, c, dtype):
             np.asarray(fast.astype(jnp.float32)),
             np.asarray(generic.astype(jnp.float32)),
         )
+
+
+@pytest.mark.parametrize("in_hw,scale", [
+    ((33, 47), 3.0), ((21, 13), 2.5), ((40, 56), 0.3),
+    ((17, 29), 7.0), ((64, 48), 1.5),
+])
+def test_tent_matmul_matches_gather_formulation(rng, in_hw, scale):
+    """The two resize formulations (trace-time tent matrix vs runtime gather)
+    must pick identical floor indices even at ULP boundaries for non-dyadic
+    scales (identical f32 arithmetic in both helpers)."""
+    from gimmvfi_tpu.ops import interp as interp_ops
+
+    x = jnp.asarray(rng.standard_normal((2, *in_hw, 3)), jnp.float32)
+    saved = interp_ops._TENT_MATMUL_MAX
+    try:
+        interp_ops._TENT_MATMUL_MAX = 1 << 40
+        via_matmul = interp_ops.resize(x, scale)
+        interp_ops._TENT_MATMUL_MAX = -1
+        via_gather = interp_ops.resize(x, scale)
+    finally:
+        interp_ops._TENT_MATMUL_MAX = saved
+    np.testing.assert_allclose(
+        np.asarray(via_matmul), np.asarray(via_gather), rtol=0, atol=1e-5
+    )
