@@ -49,7 +49,10 @@ class GIMMVFI_F(GIMMVFI_R):
         feats0 = [feats_2n[0][:n], feats_2n[1][:n]]
         feats1 = [feats_2n[0][n:], feats_2n[1][n:]]
 
-        corr_pyrs = corr_ops.bidir_corr_pyramid(fnet0, fnet1, num_levels=4)
+        corr_pyrs = corr_ops.bidir_corr_pyramid_auto(
+            fnet0, fnet1, num_levels=4,
+            max_volume_bytes=self.corr_max_volume_bytes,
+        )
         nflows, scalers = normalize_flow(jnp.stack([f01, -f10], axis=1))
         flows = jnp.stack([f01, f10], axis=1)
         return nflows, flows, scalers, feats0, feats1, corr_pyrs

@@ -54,6 +54,10 @@ class GIMMVFI_R(nn.Module):
     num_flows: int = 3
     fwarp_type: str = "linear"
     corr_radius: int = 4
+    # above this, the synthesis-side bidirectional all-pairs volume is not
+    # materialized; AMT lookups sample pooled target features on the fly
+    # (ops/corr.py windowed path, the reference's alt_cuda_corr scenario)
+    corr_max_volume_bytes: int = 2 << 30
     coord_range: tuple[float, float] = (-1.0, 1.0)
     # compute dtype for the conv-heavy paths (None = f32; jnp.bfloat16 = MXU
     # mixed precision). Flow/coordinate state and the HypoNet INR stay f32.
@@ -102,7 +106,11 @@ class GIMMVFI_R(nn.Module):
         """RAFT + the 1x1 feature projections GIMMVFI_R adds on top of it
         (`gimmvfi_r.py:44-52`). GIMMVFI_F overrides this (FlowFormer emits
         AMT-shaped features natively, `gimmvfi_f.py:37-44`)."""
-        self.flow_estimator = RAFT(iters=self.raft_iters, dtype=self.dtype)
+        self.flow_estimator = RAFT(
+            iters=self.raft_iters,
+            corr_max_volume_bytes=self.corr_max_volume_bytes,
+            dtype=self.dtype,
+        )
         self.amt_last_cproj = Conv2d(
             f_dims[0], 1, 1, 0, dtype=self.dtype, name="amt_last_cproj"
         )
@@ -135,8 +143,14 @@ class GIMMVFI_R(nn.Module):
             f01, feats0, fnet0 = self.flow_estimator(img0, img1, train=train)
             f10, feats1, fnet1 = self.flow_estimator(img1, img0, train=train)
 
-        corr_pyrs = corr_ops.bidir_corr_pyramid(
-            self.amt_fproj(fnet0), self.amt_fproj(fnet1), num_levels=4
+        # materialized when it fits, windowed (alt_cuda_corr-equivalent,
+        # `raft/corr.py:23-93` consumed at `gimmvfi_r.py:133`) at high
+        # resolution where the AMT bidir volume alone is multi-GB
+        corr_pyrs = corr_ops.bidir_corr_pyramid_auto(
+            self.amt_fproj(fnet0),
+            self.amt_fproj(fnet1),
+            num_levels=4,
+            max_volume_bytes=self.corr_max_volume_bytes,
         )
         features0 = [
             self.amt_second_last_cproj(feats0[0]),

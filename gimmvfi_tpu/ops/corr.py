@@ -164,16 +164,20 @@ def corr_lookup(pyramid: CorrPyramid, coords: Array, radius: int = 4) -> Array:
 
 
 def bidir_corr_lookup(
-    pyramids: tuple[CorrPyramid, CorrPyramid],
+    pyramids,
     coords0: Array,
     coords1: Array,
     radius: int = 4,
 ) -> tuple[Array, Array]:
-    """BidirCorrBlock.__call__ (`raft/corr.py:46-83`): lookup both volumes."""
+    """BidirCorrBlock.__call__ (`raft/corr.py:46-83`): lookup both volumes.
+
+    Accepts (CorrPyramid, CorrPyramid) or (WindowedCorr, WindowedCorr) —
+    the memory-efficient path used when the materialized volume would not
+    fit (the reference's alt_cuda_corr scenario at 2K/4K resolutions)."""
     fwd, bwd = pyramids
     return (
-        corr_lookup(fwd, coords0, radius),
-        corr_lookup(bwd, coords1, radius),
+        corr_lookup_any(fwd, coords0, radius),
+        corr_lookup_any(bwd, coords1, radius),
     )
 
 
@@ -334,3 +338,21 @@ def corr_lookup_any(pyr, coords: Array, radius: int = 4) -> Array:
     if isinstance(pyr, WindowedCorr):
         return windowed_corr_lookup(pyr, coords, radius)
     return corr_lookup(pyr, coords, radius)
+
+
+def bidir_corr_pyramid_auto(
+    fmap1: Array,
+    fmap2: Array,
+    num_levels: int = 4,
+    max_volume_bytes: int = 2 << 30,
+):
+    """Bidirectional pyramid: materialized when both volumes fit, windowed
+    otherwise (the synthesis-side alt_cuda_corr dispatch; the decision is
+    static so jit traces exactly one path)."""
+    n, h1, w1, c = fmap1.shape
+    h2, w2 = fmap2.shape[1:3]
+    itemsize = jnp.dtype(fmap1.dtype).itemsize
+    vol = 2 * n * h1 * w1 * h2 * w2 * itemsize * 4 // 3  # fwd + transposed
+    if vol <= max_volume_bytes:
+        return bidir_corr_pyramid(fmap1, fmap2, num_levels)
+    return bidir_windowed_corr_pyramid(fmap1, fmap2, num_levels)

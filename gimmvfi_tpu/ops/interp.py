@@ -272,6 +272,15 @@ def _axis_tent_matrix(
 # gather formulation (never reached by the model's own resizes)
 _TENT_MATMUL_MAX = 32 << 20
 
+# NOTE: a per-phase slice-lerp formulation for power-of-two upscales
+# (phase-constant fractional offsets -> s static slice-lerps + interleave)
+# was probed in round 4 (tools/r4_probe3.py): 1.4-2.6x faster STANDALONE and
+# bit-exact, but a ~10% END-TO-END regression at 720p (2.44 vs 2.70 fps) —
+# the interleave's stack+reshape emits degenerate layouts that poison the
+# downstream f_in concat/convs with relayout copies, the same failure mode
+# traced for gather resizes (see resize_bilinear docstring). Tent matmuls
+# stay the production path.
+
 
 def resize_bilinear(
     img: Array,

@@ -156,3 +156,37 @@ def test_corr_pyramid_auto_dispatch(rng):
         np.asarray(corr_ops.corr_lookup_any(small, coords)),
         atol=2e-5,
     )
+
+
+def test_windowed_amt_synthesis_parity(rng):
+    """Model-level: forcing the memory-efficient windowed correlation through
+    BOTH the RAFT loop and the AMT synthesis lookups (corr_max_volume_bytes=0)
+    must reproduce the materialized-path interpolation to float tolerance
+    (the alt_cuda_corr scenario, reference correlation_kernel.cu:18-119
+    consumed via BidirCorrBlock at gimmvfi_r.py:133)."""
+    import jax
+
+    from gimmvfi_tpu.models.gimmvfi_r import GIMMVFI_R
+
+    img_xs = jnp.asarray(rng.random((1, 2, 64, 64, 3), np.float32))
+    mat = GIMMVFI_R(raft_iters=2)
+    win = GIMMVFI_R(raft_iters=2, corr_max_volume_bytes=0)
+    variables = jax.jit(lambda r, x: mat.init(r, x, (0.5,)))(
+        jax.random.PRNGKey(0), img_xs
+    )
+
+    out_m = jax.jit(
+        lambda v, x: mat.apply(v, x, (0.5,), method=mat.interpolate)
+    )(variables, img_xs)
+    out_w = jax.jit(
+        lambda v, x: win.apply(v, x, (0.5,), method=win.interpolate)
+    )(variables, img_xs)
+
+    np.testing.assert_allclose(
+        np.asarray(out_w["imgt_pred"][0]),
+        np.asarray(out_m["imgt_pred"][0]),
+        atol=5e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_w["flowt"][0]), np.asarray(out_m["flowt"][0]), atol=5e-4
+    )
