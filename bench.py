@@ -39,12 +39,70 @@ def _compiled_flops(compiled) -> float | None:
         return None
 
 
+def _flow_step_flops(model, img_xs, ds) -> float | None:
+    """FLOPs of ONE flow-refinement iteration at working resolution.
+
+    RAFT: one bidirectional ConvGRU step (`flow/raft.py` _RefineStep).
+    FlowFormer: one memory-decoder iteration (`flow/flowformer.py`
+    _DecoderStep: 9x9 cost gather, cross-attention to the cost memory, GMA,
+    SepConvGRU).
+
+    The count INCLUDES the upsample-mask head: our build hoists it out of
+    the loop (only the final mask is consumed) but the reference runs it
+    every iteration — reference-equivalent arithmetic, like the resize
+    counting (see pipeline_flops docstring)."""
+    n, _, h, w, _ = img_xs.shape
+    if ds is not None and ds != 1:
+        h, w = int(h * ds), int(w * ds)
+    h8, w8 = h // 8, w // 8
+    nb = 2 * n  # bidir batch
+    fdt = jnp.float32 if model.dtype is None else model.dtype
+
+    from gimmvfi_tpu.models.gimmvfi_f import GIMMVFI_F
+
+    if isinstance(model, GIMMVFI_F):
+        from gimmvfi_tpu.flow.flowformer import FFMaskHead, _DecoderStep
+
+        hw = h8 * w8
+        net = jnp.zeros((nb, h8, w8, 128), jnp.float32)
+        coords = jnp.zeros((nb, h8, w8, 2), jnp.float32)
+        attention = jnp.zeros((nb, 1, hw, hw), jnp.float32)
+        kv = jnp.zeros((nb * hw, 8, 64), jnp.float32)
+        pyramid = (jnp.zeros((nb, hw, h8, w8), jnp.float32),)
+        carry = (net, coords, net, coords, attention, kv, kv, pyramid)
+        step = _DecoderStep(64)
+        mask_head = FFMaskHead()
+    else:
+        from gimmvfi_tpu.flow.raft import UpsampleMaskHead, _RefineStep
+
+        net = jnp.zeros((nb, h8, w8, 128), fdt)
+        coords = jnp.zeros((nb, h8, w8, 2), jnp.float32)
+        levels = tuple(
+            jnp.zeros((nb, h8 * w8, h8 // (2**i), w8 // (2**i)), fdt)
+            for i in range(4)
+        )
+        carry = (net, coords, net, coords, levels)
+        step = _RefineStep(128, model.corr_radius, dtype=model.dtype)
+        mask_head = UpsampleMaskHead(dtype=model.dtype)
+
+    sv = jax.jit(lambda r, c: step.init(r, c, None))(jax.random.PRNGKey(0), carry)
+    st_c = jax.jit(lambda v, c: step.apply(v, c, None)).lower(sv, carry).compile()
+    f_step = _compiled_flops(st_c)
+
+    mv = jax.jit(lambda r, x: mask_head.init(r, x))(jax.random.PRNGKey(0), net)
+    m_c = jax.jit(lambda v, x: mask_head.apply(v, x)).lower(mv, net).compile()
+    f_mask = _compiled_flops(m_c)
+    if f_step is None or f_mask is None:
+        return None
+    return f_step + f_mask
+
+
 def pipeline_flops(model, variables, img_xs, n_t, ds) -> float | None:
     """FLOPs of the full N-frame interpolation, composed from parts.
 
     XLA cost analysis counts a lax.scan body ONCE regardless of trip count
     (verified empirically), so the pipeline is decomposed into
-    prepare + (raft_iters - 1) * refine_step + n_t * decode_one,
+    prepare + (flow_iters - 1) * flow_step + n_t * decode_one,
     each of which contains at most one counted copy of any loop body.
 
     Counting uses the GATHER formulation of resize (reference-equivalent
@@ -53,12 +111,8 @@ def pipeline_flops(model, variables, img_xs, n_t, ds) -> float | None:
     and counting them would understate the V100 bound and flatter
     vs_baseline. The timed run still uses the fast path.
     """
-    import numpy as np
-
-    from gimmvfi_tpu.flow.raft import _RefineStep
-    from gimmvfi_tpu.ops import corr as corr_ops
+    from gimmvfi_tpu.models.gimmvfi_f import GIMMVFI_F
     from gimmvfi_tpu.ops import interp as interp_ops
-
     from gimmvfi_tpu.ops import strips as strips_ops
 
     tent_max = interp_ops._TENT_MATMUL_MAX
@@ -79,35 +133,14 @@ def pipeline_flops(model, variables, img_xs, n_t, ds) -> float | None:
         dec_c = dec_fn.lower(variables, prep, jnp.float32(0.5)).compile()
         f_dec = _compiled_flops(dec_c)
 
-        # one bidirectional GRU refinement iteration at working resolution
-        n, _, h, w, _ = img_xs.shape
-        if ds is not None and ds != 1:
-            h, w = int(h * ds), int(w * ds)
-        h8, w8 = h // 8, w // 8
-        nb = 2 * n  # bidir batch
-        fdt = jnp.float32 if model.dtype is None else model.dtype
-        net = jnp.zeros((nb, h8, w8, 128), fdt)
-        coords = jnp.zeros((nb, h8, w8, 2), jnp.float32)
-        mask = jnp.zeros((nb, h8, w8, 576), fdt)
-        levels = tuple(
-            jnp.zeros((nb, h8 * w8, h8 // (2**i), w8 // (2**i)), fdt)
-            for i in range(4)
+        f_step = _flow_step_flops(model, img_xs, ds)
+        iters = (
+            model.ff_iters if isinstance(model, GIMMVFI_F) else model.raft_iters
         )
-        carry = (net, coords, mask, net, coords, levels)
-        step = _RefineStep(128, model.corr_radius, dtype=model.dtype)
-        sv = jax.jit(lambda r, c: step.init(r, c, None))(
-            jax.random.PRNGKey(0), carry
-        )
-        st_c = (
-            jax.jit(lambda v, c: step.apply(v, c, None))
-            .lower(sv, carry)
-            .compile()
-        )
-        f_step = _compiled_flops(st_c)
 
         if None in (f_prep, f_dec, f_step):
             return None
-        return f_prep + (model.raft_iters - 1) * f_step + n_t * f_dec
+        return f_prep + (iters - 1) * f_step + n_t * f_dec
     except Exception:
         return None
     finally:
@@ -146,14 +179,17 @@ def profile_stages(model, variables, img_xs, n_t):
     t_dec = _time(dec_fn, variables, prep, jnp.float32(0.5))
     print(f"decode_one (splat + INR + AMT synthesis):    {t_dec*1e3:.1f} ms")
 
-    raft = RAFT(iters=model.raft_iters, dtype=model.dtype)
-    rv = {"params": variables["params"]["flow_estimator"]}
-    rs = variables.get("batch_stats", {}).get("flow_estimator")
-    if rs is not None:
-        rv["batch_stats"] = rs
-    raft_fn = jax.jit(lambda v, a, b: raft.apply(v, a, b)[0])
-    t_raft = _time(raft_fn, rv, 255 * img_xs[:, 0], 255 * img_xs[:, 1])
-    print(f"single RAFT ({model.raft_iters} iters):      {t_raft*1e3:.1f} ms")
+    from gimmvfi_tpu.models.gimmvfi_f import GIMMVFI_F
+
+    if not isinstance(model, GIMMVFI_F):
+        raft = RAFT(iters=model.raft_iters, dtype=model.dtype)
+        rv = {"params": variables["params"]["flow_estimator"]}
+        rs = variables.get("batch_stats", {}).get("flow_estimator")
+        if rs is not None:
+            rv["batch_stats"] = rs
+        raft_fn = jax.jit(lambda v, a, b: raft.apply(v, a, b)[0])
+        t_raft = _time(raft_fn, rv, 255 * img_xs[:, 0], 255 * img_xs[:, 1])
+        print(f"single RAFT ({model.raft_iters} iters):      {t_raft*1e3:.1f} ms")
 
     total = t_prep + n_t * t_dec
     print(f"=> modeled total for {n_t} frames: {total*1e3:.1f} ms "
@@ -161,6 +197,7 @@ def profile_stages(model, variables, img_xs, n_t):
 
 
 def main():
+    from gimmvfi_tpu.models.gimmvfi_f import GIMMVFI_F
     from gimmvfi_tpu.models.gimmvfi_r import GIMMVFI_R, interpolate_sequential
 
     p = argparse.ArgumentParser()
@@ -168,9 +205,20 @@ def main():
     p.add_argument("--trace-dir", default=None, help="jax.profiler trace output")
     p.add_argument("--size", default="736x1280")
     p.add_argument(
+        "--model", choices=("r", "f"), default="r",
+        help="model family: r = GIMM-VFI-R (RAFT flow, the flagship bench), "
+        "f = GIMM-VFI-F (FlowFormer flow, the reference's best-quality "
+        "family, `gimmvfi_f.py`)",
+    )
+    p.add_argument(
         "--ds", type=float, default=None,
         help="DS_SCALE working-res factor (e.g. 0.5 for the 2K envelope: "
         "--size 2048x1088 --ds 0.5, reference README.md:93-95)",
+    )
+    p.add_argument(
+        "--append-results", action="store_true",
+        help="append the JSON result line to bench_results.jsonl (the "
+        "committed record the README table is generated from)",
     )
     p.add_argument(
         "--f32", action="store_true",
@@ -182,7 +230,10 @@ def main():
     n_t = 7  # 8x => 7 intermediate frames
     h, w = (int(s) for s in args.size.split("x"))  # 720p padded to /32
     dtype = jnp.float32 if args.f32 else jnp.bfloat16
-    model = GIMMVFI_R(raft_iters=20, dtype=dtype)
+    if args.model == "f":
+        model = GIMMVFI_F(ff_iters=32, dtype=dtype)
+    else:
+        model = GIMMVFI_R(raft_iters=20, dtype=dtype)
 
     # init via eval_shape: eager init on the TPU tunnel is pathologically slow
     rng = jax.random.PRNGKey(0)
@@ -225,6 +276,12 @@ def main():
     dt = (time.perf_counter() - t0) / iters
 
     fps = n_t / dt
+    try:
+        peak_hbm_mib = round(
+            jax.local_devices()[0].memory_stats()["peak_bytes_in_use"] / (1 << 20)
+        )
+    except Exception:
+        peak_hbm_mib = None
     flops = pipeline_flops(model, variables, img_xs, n_t, args.ds)
     extra = {}
     if flops is not None:
@@ -244,16 +301,28 @@ def main():
         if args.size == "736x1280" and not args.ds
         else f"interp_frames_per_sec_{args.size}_ds{args.ds or 1}_8x"
     )
-    print(
-        json.dumps(
-            {
-                "metric": label,
-                "value": round(fps, 3),
-                "unit": "frames/sec",
-                **extra,
-            }
-        )
+    if args.model != "r":
+        label += f"_{args.model}"
+    if peak_hbm_mib is not None:
+        # reference envelope: 2K ds 0.5 = 7,932 MiB / 4K ds 0.25 = 10,922 MiB
+        # on a V100 (reference README.md:93-96)
+        extra["peak_hbm_mib"] = peak_hbm_mib
+    line = json.dumps(
+        {
+            "metric": label,
+            "value": round(fps, 3),
+            "unit": "frames/sec",
+            **extra,
+        }
     )
+    print(line)
+    if args.append_results:
+        import os
+
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "bench_results.jsonl")
+        with open(path, "a") as f:
+            f.write(line + "\n")
 
 
 if __name__ == "__main__":

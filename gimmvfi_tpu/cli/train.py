@@ -39,10 +39,17 @@ from ..utils.metrics import MetricAccumulator
 logger = logging.getLogger("gimmvfi_tpu.train")
 
 
-def setup_run_dir(result_path: str, cfg, resume: bool = False) -> str:
+def setup_run_dir(
+    result_path: str, cfg, resume: bool = False, is_host0: bool = True,
+    stamp: str | None = None,
+) -> str:
     """Create a timestamped run dir — or reuse `result_path` itself when
     resuming (the reference reloads config.yaml from the result dir,
-    `utils/setup.py:65-67`; round-1 bug: resume pointed at a fresh empty dir)."""
+    `utils/setup.py:65-67`; round-1 bug: resume pointed at a fresh empty dir).
+
+    Only host 0 writes the config snapshot, the src tree copy, and the file
+    log (the reference logs on rank 0 only, `utils/setup.py:25-44`); every
+    host still returns the same run_dir so collective orbax saves agree."""
     if resume:
         run_dir = result_path
         if not os.path.isdir(os.path.join(run_dir, "ckpt")):
@@ -50,27 +57,30 @@ def setup_run_dir(result_path: str, cfg, resume: bool = False) -> str:
                 f"--resume expects an existing run dir with a ckpt/: {run_dir}"
             )
     else:
-        run_dir = os.path.join(result_path, time.strftime("%d%m%Y_%H%M%S"))
+        run_dir = os.path.join(
+            result_path, stamp or time.strftime("%d%m%Y_%H%M%S")
+        )
         os.makedirs(run_dir, exist_ok=True)
-        save_config(cfg, os.path.join(run_dir, "config.yaml"))
-        # snapshot the source tree for reproducibility (`utils/setup.py:94-98`)
-        import shutil
+        if is_host0:
+            save_config(cfg, os.path.join(run_dir, "config.yaml"))
+            # snapshot the source tree (`utils/setup.py:94-98`)
+            import shutil
 
-        src = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        try:
-            shutil.copytree(
-                src,
-                os.path.join(run_dir, "src_snapshot", "gimmvfi_tpu"),
-                ignore=shutil.ignore_patterns("__pycache__"),
-            )
-        except OSError:
-            pass
+            src = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            try:
+                shutil.copytree(
+                    src,
+                    os.path.join(run_dir, "src_snapshot", "gimmvfi_tpu"),
+                    ignore=shutil.ignore_patterns("__pycache__"),
+                )
+            except OSError:
+                pass
+    handlers = [logging.StreamHandler()]
+    if is_host0:
+        handlers.insert(0, logging.FileHandler(os.path.join(run_dir, "train.log")))
     logging.basicConfig(
-        level=logging.INFO,
-        handlers=[
-            logging.FileHandler(os.path.join(run_dir, "train.log")),
-            logging.StreamHandler(),
-        ],
+        level=logging.INFO if is_host0 else logging.WARNING,
+        handlers=handlers,
         format="%(asctime)s %(name)s %(levelname)s %(message)s",
         force=True,
     )
@@ -133,13 +143,24 @@ def main(argv=None):
         if os.path.exists(saved):
             config_path = saved
     cfg = load_config(config_path, args.overrides)
-    run_dir = setup_run_dir(args.result_path, cfg, resume=args.resume)
+    is_host0 = jax.process_index() == 0
+    # all hosts must agree on the timestamped run-dir name (collective orbax
+    # saves target one path); broadcast host 0's clock when multi-host
+    stamp = time.strftime("%d%m%Y_%H%M%S")
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        sec = multihost_utils.broadcast_one_to_all(np.int64(time.time()))
+        stamp = time.strftime("%d%m%Y_%H%M%S", time.localtime(int(sec)))
+    run_dir = setup_run_dir(
+        args.result_path, cfg, resume=args.resume, is_host0=is_host0, stamp=stamp
+    )
     seed = cfg.experiment.seed
     np_rng = np.random.default_rng(seed)
 
-    from ..utils.writer import Writer, reconstruction_grid
+    from ..utils.writer import NullWriter, Writer, reconstruction_grid
 
-    writer = Writer(run_dir)
+    writer = Writer(run_dir) if is_host0 else NullWriter()
 
     mesh = create_mesh()
     n_dev = mesh.devices.size
@@ -367,8 +388,12 @@ def main(argv=None):
                         np_rng, nb, hw, cfg.loss.subsample.ratio
                     )
                 else:
-                    batch["t_id"] = np_rng.integers(0, 3, size=(nb,)).astype(
-                        np.int32
+                    # one shared t_id per iteration, broadcast over the batch
+                    # (reference `trainer_gimm.py:125-132` draws a single
+                    # scalar t per step; the step fn itself accepts per-sample
+                    # t_ids, so this is purely a sampling-distribution match)
+                    batch["t_id"] = np.full(
+                        (nb,), np_rng.integers(0, 3), np.int32
                     )
                 batch = shard_batch(mesh, batch)
                 state, metrics = step_fn(state, batch)

@@ -482,8 +482,10 @@ class FFMotionEncoder(nn.Module):
 
 
 class GMAUpdateBlock(nn.Module):
-    """`gru.py:130-160`: motion encoder + GMA aggregate + SepConvGRU +
-    flow/mask heads."""
+    """`gru.py:130-160`: motion encoder + GMA aggregate + SepConvGRU + flow
+    head. The reference's per-iteration upsample-mask head is hoisted out of
+    the 32-iter loop (only the final mask is consumed, discarded masks carry
+    zero gradient — see FFMaskHead)."""
 
     hidden_dim: int = 128
 
@@ -495,9 +497,17 @@ class GMAUpdateBlock(nn.Module):
         net = SepConvGRU(self.hidden_dim, name="gru")(net, inp_cat)
         h = nn.relu(Conv2d(256, 3, 1, 1, name="flow_head_conv1")(net))
         delta_flow = Conv2d(2, 3, 1, 1, name="flow_head_conv2")(h)
+        return net, delta_flow
+
+
+class FFMaskHead(nn.Module):
+    """Convex-upsample mask head (`gru.py:152-156`), applied ONCE to the
+    final decoder hidden state (see GMAUpdateBlock docstring)."""
+
+    @nn.compact
+    def __call__(self, net: Array) -> Array:
         m = nn.relu(Conv2d(256, 3, 1, 1, name="mask_0")(net))
-        mask = 0.25 * Conv2d(64 * 9, 1, 1, 0, name="mask_2")(m)
-        return net, mask, delta_flow
+        return 0.25 * Conv2d(64 * 9, 1, 1, 0, name="mask_2")(m)
 
 
 # ------------------------------------------------------------ memory decoder
@@ -526,13 +536,13 @@ class DecoderCrossAttention(nn.Module):
 
 class _DecoderStep(nn.Module):
     """One memory-decoder iteration, shaped for nn.scan
-    (`decoder.py:284-316`). carry = (net, coords1, up_mask) + invariants."""
+    (`decoder.py:284-316`). carry = (net, coords1) + invariants."""
 
     query_dim: int = 64
 
     @nn.compact
     def __call__(self, carry, _):
-        net, coords1, _old_mask, inp, coords0, attention, key, value, pyramid = carry
+        net, coords1, inp, coords0, attention, key, value, pyramid = carry
         coords1 = jax.lax.stop_gradient(coords1)
         b, h1, w1, _ = coords1.shape
 
@@ -551,12 +561,12 @@ class _DecoderStep(nn.Module):
 
         corr = jnp.concatenate([cost_global, cost_forward], axis=-1)
         flow = coords1 - coords0
-        net, up_mask, delta_flow = GMAUpdateBlock(name="update_block")(
+        net, delta_flow = GMAUpdateBlock(name="update_block")(
             net, inp, corr, flow, attention
         )
         coords1 = coords1 + delta_flow
         return (
-            net, coords1, up_mask, inp, coords0, attention, key, value, pyramid
+            net, coords1, inp, coords0, attention, key, value, pyramid
         ), None
 
 
@@ -580,7 +590,6 @@ class MemoryDecoder(nn.Module):
         value = nn.Dense(self.query_dim, name="cross_v")(memory)
 
         coords0 = coords_grid(b, h1, w1)
-        mask0 = jnp.zeros((b, h1, w1, 64 * 9), jnp.float32)
         pyramid = (cost_maps.reshape(b, h1 * w1, *cost_maps.shape[1:3]),)
 
         scan = nn.scan(
@@ -589,9 +598,10 @@ class MemoryDecoder(nn.Module):
             split_rngs={"params": False},
             length=self.depth,
         )
-        carry = (net, coords0, mask0, inp, coords0, attention, key, value, pyramid)
+        carry = (net, coords0, inp, coords0, attention, key, value, pyramid)
         carry, _ = scan(self.query_dim, name="step")(carry, None)
-        net, coords1, up_mask = carry[:3]
+        net, coords1 = carry[:2]
+        up_mask = FFMaskHead(name="mask_head")(net)
 
         flow_lowres = coords1 - coords0
         flow_up = convex_upsample_8x(flow_lowres, up_mask)

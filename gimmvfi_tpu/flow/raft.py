@@ -155,8 +155,13 @@ class FlowHead(nn.Module):
 
 
 class BasicUpdateBlock(nn.Module):
-    """Motion encoder -> SepConvGRU -> flow head + upsample-mask head
-    (update.py:131-154)."""
+    """Motion encoder -> SepConvGRU -> flow head (update.py:131-154).
+
+    The reference also runs the upsample-mask head here EVERY iteration; only
+    the final iteration's mask is ever consumed (`raft/raft.py:163-167`) and
+    the discarded masks carry zero gradient, so the head lives outside the
+    scan (`UpsampleMaskHead`, applied once to the final hidden state) —
+    numerically identical, saves (iters-1) x its convs."""
 
     hidden_dim: int = 128
     dtype: Any = None
@@ -169,9 +174,20 @@ class BasicUpdateBlock(nn.Module):
             net, jnp.concatenate([inp, motion], -1)
         )
         delta_flow = FlowHead(256, dtype=dt, name="flow_head")(net)
+        return net, delta_flow
+
+
+class UpsampleMaskHead(nn.Module):
+    """The convex-upsample mask head (update.py:146-150), applied once to the
+    final GRU state (see BasicUpdateBlock docstring)."""
+
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, net: Array) -> Array:
+        dt = self.dtype
         mask = nn.relu(Conv2d(256, 3, 1, 1, dtype=dt, name="mask_0")(net))
-        mask = 0.25 * Conv2d(64 * 9, 1, 1, 0, dtype=dt, name="mask_2")(mask)
-        return net, mask, delta_flow
+        return 0.25 * Conv2d(64 * 9, 1, 1, 0, dtype=dt, name="mask_2")(mask)
 
 
 def convex_upsample_8x(flow: Array, mask: Array) -> Array:
@@ -198,10 +214,9 @@ def convex_upsample_8x(flow: Array, mask: Array) -> Array:
 class _RefineStep(nn.Module):
     """One GRU refinement iteration, shaped for nn.scan.
 
-    carry = (net, coords1, up_mask); the loop-invariant operands
-    (inp, coords0, corr pyramid) ride along untouched. Only the *last*
-    iteration's upsample mask is consumed (`raft/raft.py:163-167`), so it
-    lives in the carry instead of being stacked — saves iters x mask HBM.
+    carry = (net, coords1); the loop-invariant operands (inp, coords0, corr
+    pyramid) ride along untouched. The upsample-mask head runs once on the
+    final hidden state, outside the scan (see BasicUpdateBlock docstring).
     """
 
     hidden_dim: int = 128
@@ -210,7 +225,7 @@ class _RefineStep(nn.Module):
 
     @nn.compact
     def __call__(self, carry, _):
-        net, coords1, _old_mask, inp, coords0, pyramid = carry
+        net, coords1, inp, coords0, pyramid = carry
         coords1 = jax.lax.stop_gradient(coords1)
         # pyramid rides the carry as either a levels tuple (materialized) or
         # a WindowedCorr (memory-efficient path at high resolution); the
@@ -222,11 +237,11 @@ class _RefineStep(nn.Module):
         )
         corr = corr_ops.corr_lookup_any(pyr, coords1, self.corr_radius)
         flow = coords1 - coords0
-        net, up_mask, delta_flow = BasicUpdateBlock(
+        net, delta_flow = BasicUpdateBlock(
             self.hidden_dim, dtype=self.dtype, name="update_block"
         )(net, inp, corr, flow)
         coords1 = coords1 + delta_flow
-        return (net, coords1, up_mask, inp, coords0, pyramid), None
+        return (net, coords1, inp, coords0, pyramid), None
 
 
 class RAFT(nn.Module):
@@ -324,7 +339,6 @@ class RAFT(nn.Module):
 
         h8, w8 = image1.shape[1] // 8, image1.shape[2] // 8
         coords0 = coords_grid(nb, h8, w8)
-        mask0 = jnp.zeros((nb, h8, w8, 64 * 9), net.dtype)
 
         scan = nn.scan(
             _RefineStep,
@@ -332,10 +346,11 @@ class RAFT(nn.Module):
             split_rngs={"params": False},
             length=self.iters,
         )
-        carry = (net, coords0, mask0, inp, coords0, levels)
+        carry = (net, coords0, inp, coords0, levels)
         carry, _ = scan(hdim, self.corr_radius, dtype=dt, name="refine")(carry, None)
-        net, coords1, up_mask = carry[:3]
+        net, coords1 = carry[:2]
 
+        up_mask = UpsampleMaskHead(dtype=dt, name="mask_head")(net)
         flow_up = convex_upsample_8x(coords1 - coords0, up_mask)
         if bidir:
             return flow_up, [feats[1], feats[2]], fmaps.astype(fdt)

@@ -71,6 +71,38 @@ class GIMM(nn.Module):
             coord = jnp.concatenate([base[..., :1] * tt, base[..., 1:]], axis=-1)
         return self.hyponet(coord, pixel_latent, sub_idx=sub_idx)
 
+    def forward_multi(self, xs: Array, ori_flow: Array, ts: Array) -> Array:
+        """List-of-t forward (`gimm.py:150-210`): decode M timesteps shared
+        across the batch in one call, hoisting the t-invariant encoder and
+        splatting-weight work out of the per-t loop (the reference recomputes
+        neither; it loops splat+decode per t inside one forward).
+
+        xs/ori_flow as in __call__; ts: (M,) timesteps.
+        Returns (N, M, H, W, 2) normalized flows.
+        """
+        n, _, h, w, _ = xs.shape
+        flow01 = ori_flow[:, 0]
+        flow10 = ori_flow[:, 1]
+        w1, w2 = splatting_weights(flow01, flow10, self.alpha_v, self.alpha_fe)
+        latent0 = self.cnn_encoder(xs[:, 0])
+        latent1 = self.cnn_encoder(xs[:, 1])
+        base = sample_coords_3d(n, (h, w), jnp.asarray([1.0]), self.coord_range)
+
+        def decode_one(t_scalar: Array) -> Array:
+            t_b = jnp.full((n,), t_scalar, jnp.float32)
+            pixel_latent = splat_fuse_latents(
+                self.res_conv, latent0, latent1, flow01, flow10, w1, w2, t_b,
+                self.fwarp_type,
+            )
+            coord = jnp.concatenate(
+                [base[..., :1] * t_scalar, base[..., 1:]], axis=-1
+            )
+            return self.hyponet(coord, pixel_latent)[:, 0]  # (N, H, W, 2)
+
+        # one splat+decode live at a time (M can be large in VSF-style sweeps)
+        out = jax.lax.map(decode_one, jnp.asarray(ts, jnp.float32))
+        return jnp.moveaxis(out, 0, 1)
+
 
 def gimm_loss(preds: Array, targets: Array) -> dict[str, Array]:
     """MSE + PSNR on normalized flows (`gimm.py:216-237`)."""

@@ -24,7 +24,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..nn.layers import sine
+from ..nn.layers import damping, sine
 from ..ops.interp import resize_bilinear
 
 Array = jax.Array
@@ -47,6 +47,10 @@ class HypoNet(nn.Module):
     add_coord_dim: int = 32
     normalize_weight: bool = True
     use_bias: bool = True
+    # HypoNetConfig.activation.type (`modules/module_config.py:16-41`):
+    # "sine" on every released config; "damping" kept for config parity
+    # (`modules/layers.py:28-42`)
+    activation: str = "sine"
 
     def layer_shapes(self) -> list[tuple[int, int]]:
         shapes = []
@@ -126,7 +130,8 @@ class HypoNet(nn.Module):
                     + param_b
                 )
             if idx < self.n_layer - 1:
-                hidden = sine(hidden, self.siren_w0)
+                act = sine if self.activation == "sine" else damping
+                hidden = act(hidden, self.siren_w0)
 
         out = hidden + self.output_bias
         if sub_idx is None:

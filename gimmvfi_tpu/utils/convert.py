@@ -162,8 +162,10 @@ def _raft(t: _Tree, tprefix: str, fprefix: str):
         t.conv(f"{ub_t}.gru.{name}", f"{ub_f}/gru/{name}")
     t.conv(f"{ub_t}.flow_head.conv1", f"{ub_f}/flow_head/conv1")
     t.conv(f"{ub_t}.flow_head.conv2", f"{ub_f}/flow_head/conv2")
-    t.conv(f"{ub_t}.mask.0", f"{ub_f}/mask_0")
-    t.conv(f"{ub_t}.mask.2", f"{ub_f}/mask_2")
+    # the mask head lives outside the scan in our build (applied once to the
+    # final GRU state — numerically identical, see flow/raft.py)
+    t.conv(f"{ub_t}.mask.0", f"{fprefix}/mask_head/mask_0")
+    t.conv(f"{ub_t}.mask.2", f"{fprefix}/mask_head/mask_2")
 
 
 def convert_raft(sd: Mapping[str, Any], tprefix: str = "") -> tuple[dict, dict]:
@@ -361,8 +363,10 @@ def _memory_decoder(t: _Tree, tkey: str, fpath: str):
         t.conv(f"{ub_t}.gru.{name}", f"{ub_f}/gru/{name}")
     t.conv(f"{ub_t}.flow_head.conv1", f"{ub_f}/flow_head_conv1")
     t.conv(f"{ub_t}.flow_head.conv2", f"{ub_f}/flow_head_conv2")
-    t.conv(f"{ub_t}.mask.0", f"{ub_f}/mask_0")
-    t.conv(f"{ub_t}.mask.2", f"{ub_f}/mask_2")
+    # the mask head lives outside the 32-iter scan in our build (applied once
+    # to the final hidden state — numerically identical, flow/flowformer.py)
+    t.conv(f"{ub_t}.mask.0", f"{fpath}/mask_head/mask_0")
+    t.conv(f"{ub_t}.mask.2", f"{fpath}/mask_head/mask_2")
     t.raw_conv(f"{ub_t}.aggregator.to_v", f"{ub_f}/aggregator/to_v", bias=False)
     t.param(f"{ub_t}.aggregator.gamma", f"{ub_f}/aggregator/gamma")
 

@@ -64,6 +64,26 @@ class Writer:
             w.close()
 
 
+class NullWriter:
+    """No-op writer for non-zero hosts: the reference logs TB events on rank 0
+    only (`utils/setup.py:25-44`); every other process gets this."""
+
+    def add_scalar(self, *args, **kwargs):
+        pass
+
+    def add_scalars(self, *args, **kwargs):
+        pass
+
+    def add_image(self, *args, **kwargs):
+        pass
+
+    def add_text(self, *args, **kwargs):
+        pass
+
+    def close(self):
+        pass
+
+
 def reconstruction_grid(
     img0: np.ndarray,
     pred: np.ndarray,

@@ -12,9 +12,9 @@ import pytest
 
 import jax.numpy as jnp
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     not os.path.isdir("/root/reference"), reason="reference tree unavailable"
-)
+)]
 
 FF_ITERS = 3  # single CPU core: cap the 32-iteration decoder on both sides
 

@@ -13,9 +13,9 @@ import pytest
 
 import jax.numpy as jnp
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     not os.path.isdir("/root/reference"), reason="reference tree unavailable"
-)
+)]
 
 
 @pytest.fixture(scope="module")

@@ -221,6 +221,45 @@ def test_gimmvfi_multidevice_train_step(vfi_setup, rng):
     assert np.isfinite(float(jax.device_get(em["psnr"])))
 
 
+def test_gimmvfi_f_train_step(rng):
+    """Stage-2 train step through GIMM-VFI-F (FlowFormer flow stack): loss
+    finite, grads move both the AMT group and the flow estimator's 0.01x
+    group — the F training path the R-only tests never exercised
+    (`gimmvfi_f.py:140-484` shares the R loss topology)."""
+    from gimmvfi_tpu.models.gimmvfi_f import GIMMVFI_F
+
+    model = GIMMVFI_F(raft_iters=2, ff_iters=2)
+    img_xs = jnp.zeros((1, 2, H, W, 3), jnp.float32)
+    variables = dict(
+        jax.jit(lambda r, x: model.init(r, x, (0.5,)))(
+            jax.random.PRNGKey(0), img_xs
+        )
+    )
+    variables.setdefault("batch_stats", {})
+    tx = create_optimizer(variables["params"], ft=True)
+    state = create_train_state(variables, tx, use_ema=False)
+    step = jax.jit(make_gimmvfi_train_step(model, tx, use_ema=False))
+
+    batch = _gimmvfi_batch(rng)
+    new_state, metrics = step(state, batch)
+    m = jax.device_get(metrics)
+    assert np.isfinite(m["loss_total"])
+
+    def moved(path_substr):
+        before = jax.tree_util.tree_leaves_with_path(state.params)
+        after = dict(jax.tree_util.tree_leaves_with_path(new_state.params))
+        deltas = [
+            float(np.abs(np.asarray(after[p]) - np.asarray(v)).max())
+            for p, v in before
+            if path_substr in jax.tree_util.keystr(p)
+        ]
+        assert deltas, f"no params matching {path_substr}"
+        return max(deltas)
+
+    assert moved("amt_final_decoder") > 0
+    assert moved("flow_estimator") > 0
+
+
 def test_gimm_multidevice_train_step(rng):
     """Stage-1 GIMM train step on the 8-device mesh."""
     model = GIMM()

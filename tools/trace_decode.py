@@ -17,7 +17,14 @@ from gimmvfi_tpu.models.gimmvfi_r import GIMMVFI_R
 
 
 def main():
-    h, w = 736, 1280
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", default="736x1280")
+    ap.add_argument("--ds", type=float, default=None)
+    args = ap.parse_args()
+    h, w = (int(s) for s in args.size.split("x"))
+    ds = args.ds
     model = GIMMVFI_R(raft_iters=20, dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
     small = jnp.zeros((1, 2, 64, 64, 3), jnp.float32)
@@ -31,7 +38,7 @@ def main():
     )
     img_xs = jax.random.uniform(jax.random.PRNGKey(1), (1, 2, h, w, 3))
 
-    prep_fn = jax.jit(lambda v, x: model.apply(v, x, None, method=model.prepare))
+    prep_fn = jax.jit(lambda v, x: model.apply(v, x, ds, method=model.prepare))
     prep = prep_fn(variables, img_xs)
     dec_fn = jax.jit(
         lambda v, p, t: model.apply(v, p, t, method=model.decode_one)["imgt_pred"]
@@ -39,7 +46,7 @@ def main():
     out = dec_fn(variables, prep, jnp.float32(0.5))
     float(jnp.asarray(out).mean())
 
-    trace_dir = "/tmp/trace720"
+    trace_dir = f"/tmp/trace_{h}x{w}_ds{ds}"
     with jax.profiler.trace(trace_dir):
         p2 = prep_fn(variables, img_xs)
         float(jnp.asarray(p2["nflows"]).astype(jnp.float32).mean())
