@@ -151,7 +151,9 @@ def main(argv=None):
         from jax.experimental import multihost_utils
 
         sec = multihost_utils.broadcast_one_to_all(np.int64(time.time()))
-        stamp = time.strftime("%d%m%Y_%H%M%S", time.localtime(int(sec)))
+        # gmtime, not localtime: hosts with different TZ env would otherwise
+        # format the same broadcast second into different run-dir names
+        stamp = time.strftime("%d%m%Y_%H%M%S", time.gmtime(int(sec)))
     run_dir = setup_run_dir(
         args.result_path, cfg, resume=args.resume, is_host0=is_host0, stamp=stamp
     )
@@ -232,8 +234,10 @@ def main(argv=None):
             variables["batch_stats"] = merge_partial(variables["batch_stats"], ls)
         else:
             loaded, _ = restore_checkpoint(args.load_path, None)
+            from ..train.checkpoint import relocate_mask_head
+
             variables["params"] = merge_partial(
-                variables["params"], loaded["params"]
+                variables["params"], relocate_mask_head(loaded["params"])
             )
         logger.info("partially loaded weights from %s", args.load_path)
 

@@ -130,7 +130,15 @@ class HypoNet(nn.Module):
                     + param_b
                 )
             if idx < self.n_layer - 1:
-                act = sine if self.activation == "sine" else damping
+                if self.activation == "sine":
+                    act = sine
+                elif self.activation == "damping":
+                    act = damping
+                else:
+                    raise ValueError(
+                        f"unknown HypoNet activation {self.activation!r}; "
+                        "expected 'sine' or 'damping'"
+                    )
                 hidden = act(hidden, self.siren_w0)
 
         out = hidden + self.output_bias
