@@ -126,16 +126,13 @@ def splat_fuse_latents(
     t: (N,) per-sample timestep. Returns (N, H, W, 32) latent at time t.
     """
     t = t.reshape(-1, 1, 1, 1)
-    n = latent0.shape[0]
     mode = fwarp_type + "-zeroeps"
-    # both directions through ONE splat call (batched on N): per-image splats
-    # are independent, so this is exact — and it halves the fixed costs of
-    # the sorted-window kernel (one sort + one payload permute + one launch)
-    s01 = softsplat(
-        jnp.concatenate([latent0, latent1], axis=0),
-        jnp.concatenate([flow01 * t, flow10 * (1.0 - t)], axis=0),
-        jnp.concatenate([w1, w2], axis=0),
-        mode,
-    )
-    fused = jnp.concatenate([s01[:n], s01[n:]], axis=-1)
+    # two separate splat calls, NOT one batched 2N call: the sorted-window
+    # kernel's sort and its sequential window grid both scale with the total
+    # destination space, and the batched variant measured 15% slower
+    # end-to-end at 720p (2.30 vs 2.72 fps, round-5 bisect) — the two
+    # independent sorts/grids pipeline better than one twice-as-long one
+    s0 = softsplat(latent0, flow01 * t, w1, mode)
+    s1 = softsplat(latent1, flow10 * (1.0 - t), w2, mode)
+    fused = jnp.concatenate([s0, s1], axis=-1)
     return fused + refiner(jnp.concatenate([latent0, latent1, fused], axis=-1))
