@@ -231,9 +231,9 @@ def main():
     h, w = (int(s) for s in args.size.split("x"))  # 720p padded to /32
     dtype = jnp.float32 if args.f32 else jnp.bfloat16
     if args.model == "f":
-        model = GIMMVFI_F(ff_iters=32, dtype=dtype)
+        model = GIMMVFI_F(ff_iters=32, dtype=dtype, remat=False)
     else:
-        model = GIMMVFI_R(raft_iters=20, dtype=dtype)
+        model = GIMMVFI_R(raft_iters=20, dtype=dtype, remat=False)
 
     # init via eval_shape: eager init on the TPU tunnel is pathologically slow
     rng = jax.random.PRNGKey(0)

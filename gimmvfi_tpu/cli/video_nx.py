@@ -74,9 +74,9 @@ def load_model(ckpt_path: str, model_type: str = "gimmvfi_r", flow_iters: int = 
     if model_type == "gimmvfi_f":
         from ..models.gimmvfi_f import GIMMVFI_F
 
-        model = GIMMVFI_F(ff_iters=flow_iters or 32)
+        model = GIMMVFI_F(ff_iters=flow_iters or 32, remat=False)
     else:
-        model = GIMMVFI_R(raft_iters=flow_iters or 20)
+        model = GIMMVFI_R(raft_iters=flow_iters or 20, remat=False)
     if ckpt_path.endswith((".pt", ".pth")):
         from ..utils.convert import (
             convert_gimmvfi_f,

@@ -62,22 +62,30 @@ class GIMMVFI_R(nn.Module):
     # compute dtype for the conv-heavy paths (None = f32; jnp.bfloat16 = MXU
     # mixed precision). Flow/coordinate state and the HypoNet INR stay f32.
     dtype: Any = None
+    # wrap submodules in nn.remat for the training backward (stage-2 at
+    # 224^2/bs4 holds ~18 GB of full-res conv temps otherwise). Inference
+    # entry points pass False to keep the forward HLO free of remat call
+    # boundaries (measured end-to-end neutral at 720p on the current
+    # compiler, which inlines them — the flag guards against regressions on
+    # compilers that don't). Param tree is identical either way, so
+    # checkpoints are interchangeable (tests/test_remat_toggle.py).
+    remat: bool = True
 
     def setup(self):
         f_dims = (256, 128)
         skip = f_dims[1] // 2  # 64
         dt = self.dtype
         self._setup_flow_estimator(f_dims)
-        # nested remat (decoder-level here + block-level inside synthesis.py):
-        # the stage-2 recipe (224^2, batch 4) holds ~18 GB of full-res conv
-        # temps through the backward otherwise. Inference is unaffected.
-        init_cls = nn.remat(InitDecoder, static_argnums=(7, 8))
-        final_cls = nn.remat(MultiFlowDecoder, static_argnums=(9, 10))
-        self.amt_init_decoder = init_cls(f_dims[0], skip, dtype=dt)
-        self.amt_final_decoder = final_cls(
-            f_dims[1], skip, self.num_flows, dtype=dt
+        rm = nn.remat if self.remat else (lambda cls, **kw: cls)
+        init_cls = rm(InitDecoder, static_argnums=(7, 8))
+        final_cls = rm(MultiFlowDecoder, static_argnums=(9, 10))
+        self.amt_init_decoder = init_cls(
+            f_dims[0], skip, dtype=dt, remat=self.remat
         )
-        upd_cls = nn.remat(UpdateBlock)
+        self.amt_final_decoder = final_cls(
+            f_dims[1], skip, self.num_flows, dtype=dt, remat=self.remat
+        )
+        upd_cls = rm(UpdateBlock)
         self.amt_update4_low = upd_cls(
             cdim=f_dims[0] // 2, scale_factor=2.0, dtype=dt
         )
@@ -86,11 +94,11 @@ class GIMMVFI_R(nn.Module):
         )
         self.amt_comb_block = CombBlock(self.num_flows, dtype=dt)
 
-        self.cnn_encoder = nn.remat(MotionEncoder)(dtype=dt)
-        self.res_conv = nn.remat(LatentRefiner)(dtype=dt)
+        self.cnn_encoder = rm(MotionEncoder)(dtype=dt)
+        self.res_conv = rm(LatentRefiner)(dtype=dt)
         # HypoNet remat: each of the three per-step INR decodes otherwise
         # saves its full (B, H*W, 128) x 5-layer hidden chain for backward
-        self.hyponet = nn.remat(HypoNet)(
+        self.hyponet = rm(HypoNet)(
             n_layer=5,
             hidden_dim=128,
             input_dim=3,

@@ -113,6 +113,18 @@ class UpsampleHead(nn.Module):
 _ResBlockR = nn.remat(ResBlock)
 _UpsampleHeadR = nn.remat(UpsampleHead, static_argnums=(2,))
 
+
+def _block_classes(remat: bool):
+    """ResBlock/UpsampleHead classes with or without the nn.remat wrapper.
+
+    remat=True for training (bounds full-res conv temps in the backward);
+    False for inference keeps the forward HLO free of remat call boundaries
+    (end-to-end neutral on the current compiler, which inlines them; the
+    flag guards compilers that don't). Param tree identical either way."""
+    if remat:
+        return _ResBlockR, _UpsampleHeadR
+    return ResBlock, UpsampleHead
+
 # 3x3-conv depth of the decoder main stacks, from the block structure (each
 # conv eats one halo column per side): ResBlock = conv1..conv5, the decoder
 # body = cb0 + 3 ResBlocks + cb4. The strip halo MUST equal this depth for
@@ -130,6 +142,7 @@ class InitDecoder(nn.Module):
     in_ch: int  # 256
     skip_ch: int  # 64
     dtype: Any = None
+    remat: bool = True
 
     @nn.compact
     def __call__(
@@ -143,7 +156,8 @@ class InitDecoder(nn.Module):
         train: bool = False,
         upsample_only: bool = False,
     ):
-        up = _UpsampleHeadR(self.in_ch, 1, dtype=self.dtype, name="upsample")
+        res_cls, up_cls = _block_classes(self.remat)
+        up = up_cls(self.in_ch, 1, dtype=self.dtype, name="upsample")
         if upsample_only:
             # t-invariant feature upsampling, hoisted into `prepare` so the
             # per-timestep decode doesn't recompute it (same math: the head
@@ -167,9 +181,9 @@ class InitDecoder(nn.Module):
         c = self.in_ch // 2
         dt = self.dtype
         h = ConvPReLU(c, 1, 1, 0, dtype=dt, name="cb0")(f_in)
-        h = _ResBlockR(c, self.skip_ch, dtype=dt, name="cb1")(h)
-        h = _ResBlockR(c, self.skip_ch, dtype=dt, name="cb2")(h)
-        h = _ResBlockR(c, self.skip_ch, dtype=dt, name="cb3")(h)
+        h = res_cls(c, self.skip_ch, dtype=dt, name="cb1")(h)
+        h = res_cls(c, self.skip_ch, dtype=dt, name="cb2")(h)
+        h = res_cls(c, self.skip_ch, dtype=dt, name="cb3")(h)
         out = Conv2d(c + 5, 3, 1, 1, dtype=dt, name="cb4")(h)
 
         ft_ = out[..., 4:]
@@ -243,6 +257,7 @@ class MultiFlowDecoder(nn.Module):
     skip_ch: int  # 64
     num_flows: int = 3
     dtype: Any = None
+    remat: bool = True
 
     @nn.compact
     def __call__(
@@ -258,7 +273,8 @@ class MultiFlowDecoder(nn.Module):
         train: bool = False,
         upsample_only: bool = False,
     ):
-        up = _UpsampleHeadR(self.in_ch, 2, dtype=self.dtype, name="upsample")
+        res_cls, up_cls = _block_classes(self.remat)
+        up = up_cls(self.in_ch, 2, dtype=self.dtype, name="upsample")
         if upsample_only:
             # t-invariant feature upsampling, hoisted into `prepare` (the
             # feature slot is `ft_` in this stage; see InitDecoder)
@@ -291,9 +307,9 @@ class MultiFlowDecoder(nn.Module):
         if use_strips:
             f_in = to_strips(f_in, halo)
         h = ConvPReLU(c, dtype=dt, name="cb0")(f_in)
-        h = _ResBlockR(c, self.skip_ch, dtype=dt, name="cb1")(h)
-        h = _ResBlockR(c, self.skip_ch, dtype=dt, name="cb2")(h)
-        h = _ResBlockR(c, self.skip_ch, dtype=dt, name="cb3")(h)
+        h = res_cls(c, self.skip_ch, dtype=dt, name="cb1")(h)
+        h = res_cls(c, self.skip_ch, dtype=dt, name="cb2")(h)
+        h = res_cls(c, self.skip_ch, dtype=dt, name="cb3")(h)
         out = Conv2d(8 * n, 3, 1, 1, dtype=dt, name="cb4")(h).astype(jnp.float32)
         if use_strips:
             out = from_strips(out, halo)

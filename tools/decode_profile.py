@@ -31,7 +31,7 @@ def timed(fn, *args, iters=4, name=""):
 
 def main():
     h, w = 736, 1280
-    model = GIMMVFI_R(raft_iters=20, dtype=jnp.bfloat16)
+    model = GIMMVFI_R(raft_iters=20, dtype=jnp.bfloat16, remat=False)
     rng = jax.random.PRNGKey(0)
     small = jnp.zeros((1, 2, 64, 64, 3), jnp.float32)
     var_shapes = jax.eval_shape(lambda r, x: model.init(r, x, (0.5,)), rng, small)
