@@ -197,6 +197,10 @@ def main(argv=None):
     is_stage2 = arch.startswith("gimmvfi")
     if arch == "gimmvfi_r":
         model = create_model(arch, raft_iters=cfg.arch.raft_iter)
+    elif arch == "gimm":
+        # stage-1 recipe (bs 32, 256^2) needs block remat to fit 16 GB HBM;
+        # forward-bit-exact and same param tree (tests/test_remat_toggle.py)
+        model = create_model(arch, remat=True)
     else:
         model = create_model(arch)
 

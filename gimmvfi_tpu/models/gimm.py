@@ -24,10 +24,18 @@ Array = jax.Array
 class GIMM(nn.Module):
     fwarp_type: str = "linear"
     coord_range: tuple[float, float] = (-1.0, 1.0)
+    # remat=True bounds backward-pass temps to one encoder/refiner block
+    # (the stage-1 recipe — bs 32 at 256^2, `configs/gimm/gimm.yaml:38-57` —
+    # otherwise overflows a 16 GB v5e by ~45 MB with 1.8 GB fragmentation).
+    # Same param tree either way; inference default stays remat-free like
+    # the synthesis decoders (models/synthesis.py:_block_classes).
+    remat: bool = False
 
     def setup(self):
-        self.cnn_encoder = MotionEncoder()
-        self.res_conv = LatentRefiner()
+        enc_cls = nn.remat(MotionEncoder) if self.remat else MotionEncoder
+        ref_cls = nn.remat(LatentRefiner) if self.remat else LatentRefiner
+        self.cnn_encoder = enc_cls()
+        self.res_conv = ref_cls()
         self.hyponet = HypoNet(
             n_layer=5,
             hidden_dim=128,

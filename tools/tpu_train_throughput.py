@@ -68,7 +68,7 @@ def _loss_points(losses, k=5):
 
 def run_stage1(steps: int):
     b, h, w = 32, 256, 256
-    model = GIMM()
+    model = GIMM(remat=True)
     rng_np = np.random.default_rng(0)
     xs = jnp.asarray(rng_np.random((b, 3, h, w, 2)), jnp.float32)
     ori = jnp.asarray(rng_np.normal(0, 3, (b, 2, h, w, 2)), jnp.float32)
@@ -76,7 +76,7 @@ def run_stage1(steps: int):
         model, (xs[:, [0, 2]], ori, jnp.full((b,), 0.5, jnp.float32))
     )
 
-    tx = create_optimizer(variables["params"], ft=False, lr=1e-4)
+    tx = create_optimizer(variables["params"], ft=False, init_lr=1e-4)
     state = create_train_state(variables, tx, use_ema=True)
     step_fn = jax.jit(make_gimm_train_step(model, tx, use_ema=True),
                       donate_argnums=(0,))
@@ -120,7 +120,7 @@ def run_stage2(steps: int):
         model, (jnp.zeros((1, 2, 64, 64, 3), jnp.float32), (0.5,))
     )
 
-    tx = create_optimizer(variables["params"], ft=True, lr=8e-5)
+    tx = create_optimizer(variables["params"], ft=True, init_lr=8e-5)
     state = create_train_state(variables, tx, use_ema=True)
     step_fn = jax.jit(make_gimmvfi_train_step(model, tx), donate_argnums=(0,))
 
